@@ -1,0 +1,229 @@
+"""Lakehouse-lite: a snapshot-committed, hash-bucketed, MERGE-capable
+lake table.
+
+The north rule targets Iceberg ``MERGE INTO``; this sandbox has no
+Iceberg runtime jar, so the same semantics are implemented on plain
+parquet + an atomic manifest-swap commit protocol (the shape of an
+Iceberg snapshot commit):
+
+- ``data/v{N}/_bucket={B}/*.parquet`` — immutable data files, hash-
+  bucketed by ``pmod(xxhash64(key), n_buckets)``. A MERGE rewrites ONLY
+  the buckets touched by the batch (Iceberg copy-on-write at bucket
+  granularity); untouched buckets keep their existing files.
+- ``_snapshots/v{N}.json`` — the manifest: schema, per-bucket file
+  lists, committed batch ids, per-partition committed offsets, lineage
+  counters. Written via exclusive create; ``_snapshots/CURRENT`` is
+  swapped by atomic rename. Readers see v{N} or v{N+1}, never a blend.
+
+Exactly-once: a batch key already present in ``committed`` is skipped
+(the reference is at-least-once via Kafka auto-commit,
+src/kafka.rs:134 — upgrading that is OUR addition per SURVEY §2.13).
+On top of the batch guard, the merge itself is idempotent and
+order-insensitive: every row stores its winning ``(_lsn, _offset)`` and
+an incoming change only wins if strictly newer; deletes are kept as
+tombstones so a replayed older insert cannot resurrect a deleted key.
+Replay of any subset of batches in any order reconverges to the same
+final state.
+
+Schema evolution is additive and metadata-driven: new payload columns
+widen the manifest schema; existing rows read back as null
+(mergeSchema); batches missing known columns are null-filled. Swapping
+this class for an Iceberg catalog table keeps every caller unchanged —
+``merge`` maps to ``MERGE INTO`` + snapshot properties, ``read`` to a
+snapshot scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+META_COLS = ["_lsn", "_offset", "_deleted"]
+ENVELOPE_COLS = ["op", "lsn", "offset", "partition", "ts"]
+
+
+class LakehouseTable:
+    def __init__(self, spark: SparkSession, path: str, key_col: str = "doc_id", n_buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+        os.makedirs(self._snap_dir, exist_ok=True)
+        if not os.path.exists(self._current_path):
+            self._write_manifest(
+                {
+                    "version": 0,
+                    "key_col": key_col,
+                    "n_buckets": n_buckets,
+                    "payload_schema": [],  # [name, ddl_type] pairs, additive
+                    "buckets": {},
+                    "committed": [],
+                    "offsets": {},
+                    "lineage": {},
+                    "history": [],
+                },
+                version=0,
+            )
+
+    # -- manifest plumbing --------------------------------------------------
+
+    @property
+    def _snap_dir(self) -> str:
+        return os.path.join(self.path, "_snapshots")
+
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self._snap_dir, "CURRENT")
+
+    def manifest(self) -> dict:
+        with open(self._current_path) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(self._snap_dir, f"v{version}.json")) as f:
+            return json.load(f)
+
+    def _write_manifest(self, man: dict, version: int) -> None:
+        final = os.path.join(self._snap_dir, f"v{version}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        # exclusive commit: os.link fails if a concurrent writer already
+        # claimed this version (optimistic concurrency, Iceberg-style)
+        os.link(tmp, final)
+        os.unlink(tmp)
+        cur_tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
+        with open(cur_tmp, "w") as f:
+            f.write(str(version))
+        os.rename(cur_tmp, self._current_path)  # atomic swap
+
+    # -- read ----------------------------------------------------------------
+
+    def _bucket(self, col):
+        return F.pmod(F.xxhash64(col, F.lit(0)), F.lit(self.n_buckets)).cast("int")
+
+    def _full_schema_ddl(self, man: dict) -> str:
+        cols = [f"`{self.key_col}` string"]
+        cols += [f"`{n}` {t}" for n, t in man["payload_schema"]]
+        cols += ["`_lsn` bigint", "`_offset` bigint", "`_deleted` boolean"]
+        return ", ".join(cols)
+
+    def _read_files(self, man: dict, files: list[str]) -> DataFrame:
+        schema = StructType.fromDDL(self._full_schema_ddl(man))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.option("mergeSchema", True).parquet(*files)
+        # null-fill columns added after these files were written
+        missing = {f.name: f.dataType for f in schema.fields if f.name not in df.columns}
+        for name, dtype in missing.items():
+            df = df.withColumn(name, F.lit(None).cast(dtype))
+        return df.select(*[f.name for f in schema.fields])
+
+    def read(self, include_meta: bool = False) -> DataFrame:
+        man = self.manifest()
+        files = [f for fl in man["buckets"].values() for f in fl]
+        df = self._read_files(man, files).filter(~F.col("_deleted"))
+        return df if include_meta else df.drop(*META_COLS)
+
+    def committed_offsets(self) -> dict[int, int]:
+        return {int(k): int(v) for k, v in self.manifest()["offsets"].items()}
+
+    def is_committed(self, batch_key: str) -> bool:
+        return batch_key in self.manifest()["committed"]
+
+    # -- merge ----------------------------------------------------------------
+
+    def merge(
+        self,
+        changes: DataFrame,
+        batch_key: str,
+        offsets: dict[int, int] | None = None,
+        lineage: dict[str, int] | None = None,
+    ) -> dict:
+        """MERGE one LWW-resolved change batch (one row per key; columns:
+        key_col, op, lsn, offset, payload...). Returns commit info."""
+        man = self.manifest()
+        if batch_key in man["committed"]:
+            return {"skipped": True, "version": man["version"]}
+
+        payload_cols = [
+            c for c in changes.columns if c != self.key_col and c not in ENVELOPE_COLS
+        ]
+        # additive schema evolution: append never-seen payload columns
+        known = dict(man["payload_schema"])
+        chg_types = dict(changes.dtypes)
+        new_schema = list(man["payload_schema"])
+        for c in payload_cols:
+            if c not in known:
+                new_schema.append([c, chg_types[c]])
+        man["payload_schema"] = new_schema
+        target_payload = [n for n, _ in new_schema]
+
+        chg = changes.withColumn("_bucket", self._bucket(F.col(self.key_col)))
+        chg = (
+            chg.withColumn("_lsn", F.col("lsn").cast("bigint"))
+            .withColumn("_offset", F.col("offset").cast("bigint"))
+            .withColumn("_deleted", F.col("op") == "delete")
+        )
+        for n, t in new_schema:  # null-fill payload columns absent in batch
+            if n not in chg.columns:
+                chg = chg.withColumn(n, F.lit(None).cast(t))
+        chg = chg.select(self.key_col, *target_payload, *META_COLS, "_bucket")
+
+        touched = sorted(
+            r["_bucket"] for r in chg.select("_bucket").distinct().collect()
+        )
+        cur_files = [f for b in touched for f in man["buckets"].get(str(b), [])]
+        cur = self._read_files(man, cur_files)
+
+        c, n = cur.alias("c"), chg.alias("n")
+        joined = c.join(n, on=F.col(f"c.{self.key_col}") == F.col(f"n.{self.key_col}"), how="full_outer")
+        take_new = F.col(f"c.{self.key_col}").isNull() | (
+            F.struct(F.col("n._lsn"), F.col("n._offset"))
+            > F.struct(F.col("c._lsn"), F.col("c._offset"))
+        )
+        take_new = F.col(f"n.{self.key_col}").isNotNull() & take_new
+        merged_cols = [
+            F.coalesce(F.col(f"n.{self.key_col}"), F.col(f"c.{self.key_col}")).alias(self.key_col)
+        ]
+        for col in target_payload + META_COLS:
+            merged_cols.append(
+                F.when(take_new, F.col(f"n.{col}")).otherwise(F.col(f"c.{col}")).alias(col)
+            )
+        merged = joined.select(*merged_cols)
+        merged = merged.withColumn("_bucket", self._bucket(F.col(self.key_col)))
+
+        version = man["version"] + 1
+        out_dir = os.path.join(self.path, "data", f"v{version}")
+        (
+            merged.repartition(max(1, len(touched)), "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+
+        new_buckets = dict(man["buckets"])
+        for b in touched:
+            bdir = os.path.join(out_dir, f"_bucket={b}")
+            files = (
+                [os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")]
+                if os.path.isdir(bdir)
+                else []
+            )
+            new_buckets[str(b)] = files
+        man["buckets"] = new_buckets
+
+        for p, o in (offsets or {}).items():
+            k = str(p)
+            man["offsets"][k] = max(int(man["offsets"].get(k, -1)), int(o))
+        cum = man["lineage"]
+        for k, v in (lineage or {}).items():
+            cum[k] = int(cum.get(k, 0)) + int(v)
+        man["committed"].append(batch_key)
+        man["history"] = (man["history"] + [{"batch": batch_key, "version": version, "lineage": lineage or {}}])[-100:]
+        man["version"] = version
+        self._write_manifest(man, version)
+        return {"skipped": False, "version": version, "touched_buckets": touched}

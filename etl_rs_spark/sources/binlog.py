@@ -1,0 +1,165 @@
+"""Synthetic change-event binlog — deterministic, seeded, fully distributed.
+
+Models the reference's Kafka relay: the change-event envelope mirrors
+``KafkaMessage {key, value, topic, partition, offset}``
+(crates/libs/lib-etl/src/config.rs:10-17) plus its producer headers
+(timestamp / row_index, src/kafka.rs:71-89); the bounded replay mirrors
+the offset-range consumer (examples/kafka_jdd_to_mongo.rs:18-66).
+
+Payload rows carry the tokenized-sequence shape from BASELINE.json's
+input_hint: (doc_id string, tokens array<int>, n_tok int, source string).
+
+Every column derives from ``spark.range`` via xxhash64 — nothing is
+materialized on the driver, so the same generator scales from the 1k-event
+pytest fixture to the 10^10-event bench (generated lazily, never stored).
+
+Generation rules (FIXTURES.md §1.2):
+- a hot subset of keys (hot_frac of docs) receives hot_share of events
+  (exercises salting / AQE skew handling);
+- ~dup_frac of events are delivered twice with identical
+  (partition, offset) (exercises exactly-once / idempotent merge);
+- ~1% of events carry a deliberately wrong n_tok (engine recomputes);
+- ~2% of token values fall outside [0, vocab) (normalize drops them);
+- partition = hash(doc_id) % P  — per-doc ordering holds within a
+  partition, matching real binlog/Kafka semantics;
+- offset = lsn — globally monotonic, hence per-partition monotonic;
+- from ``evolve_from_lsn`` onward events carry an additional ``tag``
+  column (additive schema evolution epoch E2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_COLUMNS = [
+    "op", "lsn", "partition", "offset", "ts",
+    "doc_id", "tokens", "n_tok", "source",
+]
+
+SOURCES = ["web", "books", "code", "wiki"]
+
+
+@dataclass
+class BinlogSpec:
+    n_events: int
+    n_docs: int
+    n_partitions: int = 8
+    vocab: int = 50257
+    tokens_max: int = 64          # max generated tokens per event
+    hot_frac: float = 0.001
+    hot_share: float = 0.30
+    dup_frac: float = 0.02
+    wrong_ntok_frac: float = 0.01
+    insert_pct: int = 60          # insert/update/delete ≈ 60/30/10
+    update_pct: int = 30
+    evolve_from_lsn: int | None = None
+    seed: int = 42
+
+
+def _h(spec: BinlogSpec, *cols: Column | str) -> Column:
+    return F.xxhash64(*cols, F.lit(spec.seed))
+
+
+def gen_events(spark: SparkSession, spec: BinlogSpec) -> DataFrame:
+    """Lazy event frame; one row per delivered message (incl. duplicate
+    deliveries). Ordering columns: (lsn) global, (partition, offset)
+    per-partition."""
+    base = spark.range(spec.n_events).withColumn("lsn", F.col("id") + 1)
+
+    n_hot = max(1, int(spec.n_docs * spec.hot_frac))
+    is_hot = F.pmod(_h(spec, "id", F.lit("hot")), F.lit(1000)) < int(spec.hot_share * 1000)
+    doc_idx = F.when(is_hot, F.pmod(_h(spec, "id", F.lit("hd")), F.lit(n_hot))).otherwise(
+        F.pmod(_h(spec, "id", F.lit("cd")), F.lit(spec.n_docs))
+    )
+    df = base.withColumn("doc_id", F.format_string("doc-%012d", doc_idx))
+
+    op_r = F.pmod(_h(spec, "id", F.lit("op")), F.lit(100))
+    df = df.withColumn(
+        "op",
+        F.when(op_r < spec.insert_pct, F.lit("insert"))
+        .when(op_r < spec.insert_pct + spec.update_pct, F.lit("update"))
+        .otherwise(F.lit("delete")),
+    )
+
+    # tokens: deterministic from (doc_id, lsn); ~2% out of [0, vocab)
+    tok_hi = int(spec.vocab * 1.02)
+    length = (F.pmod(_h(spec, "id", F.lit("len")), F.lit(spec.tokens_max)) + 1).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: (F.pmod(_h(spec, "doc_id", "lsn", i), F.lit(tok_hi)) - F.lit(25)).cast("int"),
+    )
+    df = df.withColumn("tokens", F.when(F.col("op") != "delete", tokens))
+
+    wrong = F.pmod(_h(spec, "id", F.lit("bad")), F.lit(1000)) < int(spec.wrong_ntok_frac * 1000)
+    df = df.withColumn(
+        "n_tok",
+        F.when(F.col("tokens").isNull(), F.lit(None).cast("int")).otherwise(
+            F.when(wrong, F.size("tokens") + 3).otherwise(F.size("tokens")).cast("int")
+        ),
+    )
+
+    src_idx = F.pmod(_h(spec, "doc_id", F.lit("src")), F.lit(len(SOURCES))).cast("int")
+    df = df.withColumn("source", F.element_at(F.array(*[F.lit(s) for s in SOURCES]), src_idx + 1))
+
+    df = (
+        df.withColumn("partition", F.pmod(_h(spec, "doc_id"), F.lit(spec.n_partitions)).cast("int"))
+        .withColumn("offset", F.col("lsn"))
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("lsn")))
+    )
+
+    if spec.evolve_from_lsn is not None:
+        tag = F.when(
+            F.col("lsn") >= spec.evolve_from_lsn,
+            F.format_string("tag-%d", F.pmod(_h(spec, "id", F.lit("tag")), F.lit(5))),
+        )
+        df = df.withColumn("tag", tag)
+
+    # duplicate deliveries: identical (partition, offset, payload), re-sent
+    dup = df.filter(
+        F.pmod(_h(spec, "id", F.lit("dup")), F.lit(1000)) < int(spec.dup_frac * 1000)
+    )
+    cols = EVENT_COLUMNS + (["tag"] if spec.evolve_from_lsn is not None else [])
+    return df.select(*cols).unionAll(dup.select(*cols))
+
+
+def write_segments(
+    df: DataFrame, path: str, n_segments: int, max_lsn: int, drop_tag_before_evolve: int | None = None
+) -> list[str]:
+    """Materialize the binlog as ordered segment directories
+    ``seg-00000..`` by lsn range — the file-based stand-in for Kafka
+    topic segments. If ``drop_tag_before_evolve`` is set, segments that
+    end before that lsn are written WITHOUT the tag column (the physical
+    schema really evolves mid-stream)."""
+    step = (max_lsn + n_segments - 1) // n_segments
+    seg_paths = []
+    for s in range(n_segments):
+        lo, hi = s * step + 1, min((s + 1) * step, max_lsn)
+        seg = df.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
+        if drop_tag_before_evolve is not None and hi < drop_tag_before_evolve and "tag" in df.columns:
+            seg = seg.drop("tag")
+        seg_path = f"{path}/seg-{s:05d}"
+        seg.write.mode("overwrite").parquet(seg_path)
+        seg_paths.append(seg_path)
+    return seg_paths
+
+
+def read_segments(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Bounded batch read of binlog segments (mergeSchema: segments from
+    before the evolution epoch lack the tag column)."""
+    return spark.read.option("mergeSchema", True).parquet(*paths)
+
+
+def read_offset_range(
+    spark: SparkSession, path: str, partition: int, start: int, end: int
+) -> DataFrame:
+    """Offset-range replay of one partition — the reference's
+    read_messages_from_offset_range (kafka_jdd_to_mongo.rs:18-66)."""
+    df = spark.read.option("mergeSchema", True).parquet(f"{path}/seg-*")
+    return df.filter(
+        (F.col("partition") == partition)
+        & (F.col("offset") >= start)
+        & (F.col("offset") <= end)
+    )

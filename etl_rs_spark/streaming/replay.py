@@ -1,0 +1,152 @@
+"""Ordered change-event replay -> lake upsert (the CDC engine core).
+
+Pipeline per micro-batch (or per bounded batch replay):
+
+  events -> skip already-committed offsets (checkpoint resume)
+         -> metadata-driven column mapping (schema evolution)
+         -> normalize (clip-to-vocab, recompute n_tok, drop invalid)
+         -> LWW per doc_id over (lsn, offset) (salted/partial-agg)
+         -> idempotent MERGE into the lake table (exactly-once commit)
+
+Lineage counters per batch (north rule): rows_in, dup_deliveries,
+invalid_dropped, upserts, deletes — accumulated in the table manifest
+alongside per-partition committed offsets, so replay can resume from any
+snapshot and reconverge to the identical final state.
+
+Batch mode mirrors the reference's bounded offset-range consumption
+(examples/kafka_jdd_to_mongo.rs:18-66); streaming mode is Structured
+Streaming over the segment directory with ``foreachBatch`` (the
+reference's subscribe-loop, src/kafka.rs:110-140, upgraded from
+at-least-once auto-commit to exactly-once).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rs_spark.operators.lww import lww_agg, lww_salted
+from etl_rs_spark.operators.normalize_cdc import normalize_events
+from etl_rs_spark.sinks.lakehouse import LakehouseTable
+from etl_rs_spark.streaming.schema_evolution import ColumnMapping
+
+ENVELOPE = ["op", "lsn", "partition", "offset"]
+
+
+@dataclass
+class ReplayConfig:
+    vocab: int = 50257
+    max_len: int = 2048
+    salted_lww: bool = False
+    salt_buckets: int = 16
+    collect_lineage: bool = True
+
+
+def process_batch(
+    table: LakehouseTable,
+    events: DataFrame,
+    batch_key: str,
+    mapping: ColumnMapping | None = None,
+    cfg: ReplayConfig | None = None,
+) -> dict:
+    """Run one change-event batch through normalize -> LWW -> MERGE."""
+    cfg = cfg or ReplayConfig()
+    mapping = mapping or ColumnMapping.base()
+
+    if table.is_committed(batch_key):
+        return {"skipped": True, "batch": batch_key}
+
+    # checkpoint resume: drop events at or below the committed offset of
+    # their partition (idempotent MERGE makes this an optimization, but
+    # it also keeps lineage counters exact on resume)
+    committed = table.committed_offsets()
+    if committed:
+        pairs = [x for p, o in committed.items() for x in (F.lit(p), F.lit(o))]
+        cm = F.create_map(*pairs)
+        events = events.filter(
+            F.coalesce(F.col("offset") > cm[F.col("partition")], F.lit(True))
+        )
+
+    events = mapping.apply(events, passthrough=tuple(ENVELOPE))
+    norm = normalize_events(events, vocab=cfg.vocab, max_len=cfg.max_len).persist()
+    try:
+        lineage: dict[str, int] = {}
+        if cfg.collect_lineage:
+            stats = norm.agg(
+                F.count(F.lit(1)).alias("rows_in"),
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct(F.col("partition"), F.col("offset"))
+                ).alias("dup_deliveries"),
+                F.sum(F.when(~F.col("_valid"), 1).otherwise(0)).alias("invalid_dropped"),
+            ).collect()[0]
+            lineage = {k: int(stats[k] or 0) for k in stats.asDict()}
+
+        offsets_rows = norm.groupBy("partition").agg(F.max("offset").alias("o")).collect()
+        offsets = {int(r["partition"]): int(r["o"]) for r in offsets_rows}
+
+        valid = norm.filter("_valid").drop("_valid", "partition")
+        lww = lww_salted if cfg.salted_lww else lww_agg
+        winners = lww(valid, key=table.key_col, order=("lsn", "offset")).persist()
+
+        if cfg.collect_lineage:
+            ops = {r["op"]: int(r["count"]) for r in winners.groupBy("op").count().collect()}
+            lineage["deletes"] = ops.get("delete", 0)
+            lineage["upserts"] = ops.get("insert", 0) + ops.get("update", 0)
+
+        result = table.merge(winners, batch_key, offsets=offsets, lineage=lineage)
+        winners.unpersist()
+        return result
+    finally:
+        norm.unpersist()
+
+
+def replay_segments(
+    spark: SparkSession,
+    table: LakehouseTable,
+    segment_paths: list[str],
+    mapping: ColumnMapping | None = None,
+    cfg: ReplayConfig | None = None,
+    batch_prefix: str = "batch",
+) -> list[dict]:
+    """Bounded replay: each segment directory is one MERGE batch, in
+    order — the file-based analogue of offset-range Kafka consumption."""
+    results = []
+    for seg in segment_paths:
+        events = spark.read.option("mergeSchema", True).parquet(seg)
+        key = f"{batch_prefix}:{seg.rstrip('/').rsplit('/', 1)[-1]}"
+        results.append(process_batch(table, events, key, mapping, cfg))
+    return results
+
+
+def replay_stream(
+    spark: SparkSession,
+    table: LakehouseTable,
+    binlog_glob: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    mapping: ColumnMapping | None = None,
+    cfg: ReplayConfig | None = None,
+    max_files_per_trigger: int = 4,
+    stream_name: str = "replay",
+):
+    """Structured Streaming replay with exactly-once foreachBatch MERGE.
+    Uses availableNow so tests/bench drain the backlog and stop; a live
+    tail would simply drop that trigger."""
+    stream = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(binlog_glob)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        process_batch(table, batch_df, f"{stream_name}:{batch_id}", mapping, cfg)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,167 @@
+"""CDC engine correctness: replay -> final-state equality vs the
+sequential pandas oracle (token-array equality per doc_id), exactly-once,
+checkpoint resume, salting parity, schema evolution, streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rs_spark.operators.lww import lww_agg, lww_salted, lww_window
+from etl_rs_spark.operators.normalize_cdc import (
+    normalize_events,
+    normalize_events_pandas,
+)
+from etl_rs_spark.sinks.lakehouse import LakehouseTable
+from etl_rs_spark.sources.binlog import BinlogSpec, gen_events, write_segments
+from etl_rs_spark.streaming.replay import ReplayConfig, replay_segments, replay_stream
+from etl_rs_spark.streaming.schema_evolution import ColumnMapping, MappedColumn
+from tests.oracle_cdc import oracle_replay, table_state
+
+VOCAB = 1000
+MAX_LEN = 32
+
+SPEC = BinlogSpec(
+    n_events=2000, n_docs=150, n_partitions=4, vocab=VOCAB, tokens_max=16, seed=42
+)
+CFG = ReplayConfig(vocab=VOCAB, max_len=MAX_LEN)
+
+
+@pytest.fixture(scope="module")
+def binlog(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("binlog"))
+    df = gen_events(spark, SPEC)
+    segs = write_segments(df, path, n_segments=4, max_lsn=SPEC.n_events)
+    events = [r.asDict() for r in df.collect()]
+    return path, segs, events
+
+
+@pytest.fixture(scope="module")
+def oracle_state(binlog):
+    _, _, events = binlog
+    return oracle_replay(events, VOCAB, MAX_LEN)
+
+
+def test_batch_replay_matches_oracle(spark, tmp_path, binlog, oracle_state):
+    _, segs, _ = binlog
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8)
+    results = replay_segments(spark, table, segs, cfg=CFG)
+    assert all(not r["skipped"] for r in results)
+    assert table_state(table.read()) == oracle_state
+    # lineage counters recorded
+    lin = table.manifest()["lineage"]
+    assert lin["rows_in"] == len(binlog[2])
+    assert lin["dup_deliveries"] > 0
+    assert lin["invalid_dropped"] >= 0
+    assert lin["upserts"] > 0 and lin["deletes"] > 0
+
+
+def test_exactly_once_reapply(spark, tmp_path, binlog, oracle_state):
+    _, segs, _ = binlog
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8)
+    replay_segments(spark, table, segs, cfg=CFG)
+    v1 = table.manifest()["version"]
+    # replaying the identical batches must be a no-op (batch-id guard)
+    results = replay_segments(spark, table, segs, cfg=CFG)
+    assert all(r["skipped"] for r in results)
+    assert table.manifest()["version"] == v1
+    assert table_state(table.read()) == oracle_state
+
+
+def test_checkpoint_resume_reconverges(spark, tmp_path, binlog, oracle_state):
+    """Restart mid-stream with NEW batch ids re-reading from the start:
+    committed per-partition offsets skip everything already applied and
+    the final state is identical to the one-shot replay."""
+    _, segs, _ = binlog
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8)
+    replay_segments(spark, table, segs[:2], cfg=CFG, batch_prefix="run1")
+    mid_offsets = table.committed_offsets()
+    assert mid_offsets
+    # "crashed" consumer restarts and replays ALL segments under new keys
+    replay_segments(spark, table, segs, cfg=CFG, batch_prefix="run2")
+    assert table_state(table.read()) == oracle_state
+    # offsets advanced monotonically
+    end_offsets = table.committed_offsets()
+    assert all(end_offsets[p] >= o for p, o in mid_offsets.items())
+    # lineage counted each event exactly once despite the overlap
+    assert table.manifest()["lineage"]["rows_in"] == len(binlog[2])
+
+
+def test_lww_flavors_agree(spark, binlog):
+    _, segs, _ = binlog
+    df = spark.read.parquet(*segs)
+    norm = normalize_events(df, VOCAB, MAX_LEN).filter("_valid").drop("_valid", "ts")
+    a = {r["doc_id"]: (r["lsn"], r["offset"]) for r in lww_agg(df=norm).collect()}
+    s = {r["doc_id"]: (r["lsn"], r["offset"]) for r in lww_salted(df=norm).collect()}
+    w = {r["doc_id"]: (r["lsn"], r["offset"]) for r in lww_window(df=norm).collect()}
+    assert a == s == w
+
+
+def test_normalize_flavors_agree(spark, binlog):
+    _, segs, _ = binlog
+    df = spark.read.parquet(*segs).drop("ts")
+    native = normalize_events(df, VOCAB, MAX_LEN)
+    pand = normalize_events_pandas(df, VOCAB, MAX_LEN)
+
+    def canon(d):
+        return {
+            (r["partition"], r["offset"], r["lsn"]): (
+                tuple(r["tokens"]) if r["tokens"] is not None else None,
+                r["n_tok"],
+                r["_valid"],
+            )
+            for r in d.collect()
+        }
+
+    assert canon(native) == canon(pand)
+
+
+def test_schema_evolution_additive(spark, tmp_path, binlog_evolved=None):
+    """Epoch E2 adds a `tag` column mid-stream. Pre-E2 segments are
+    physically written WITHOUT the column; the metadata-driven mapping
+    null-fills it and the lake table widens additively."""
+    spec = BinlogSpec(
+        n_events=1200, n_docs=80, n_partitions=4, vocab=VOCAB,
+        tokens_max=12, evolve_from_lsn=601, seed=7,
+    )
+    df = gen_events(spark, spec)
+    path = str(tmp_path / "binlog")
+    segs = write_segments(df, path, n_segments=4, max_lsn=spec.n_events,
+                          drop_tag_before_evolve=spec.evolve_from_lsn)
+    # physical check: first segments lack the tag column
+    assert "tag" not in spark.read.parquet(segs[0]).columns
+    assert "tag" in spark.read.parquet(segs[-1]).columns
+
+    mapping = ColumnMapping.base().evolved(MappedColumn("tag", "tag", "string"))
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8)
+    replay_segments(spark, table, segs, mapping=mapping, cfg=CFG)
+
+    events = [r.asDict() for r in df.collect()]
+    for e in events:
+        if e["lsn"] < spec.evolve_from_lsn:
+            e["tag"] = None
+    want = oracle_replay(events, VOCAB, MAX_LEN)
+    assert table_state(table.read(), with_tag=True) == want
+    # manifest schema evolved additively
+    assert ["tag", "string"] in table.manifest()["payload_schema"]
+
+
+def test_streaming_replay(spark, tmp_path, binlog, oracle_state):
+    path, segs, _ = binlog
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8)
+    schema = spark.read.parquet(segs[0]).schema
+    q = replay_stream(
+        spark, table, f"{path}/seg-*", str(tmp_path / "ckpt"), schema,
+        cfg=CFG, max_files_per_trigger=6,
+    )
+    q.awaitTermination(300)
+    assert table_state(table.read()) == oracle_state
+    # restart on the same checkpoint: nothing new, state unchanged
+    v = table.manifest()["version"]
+    q2 = replay_stream(
+        spark, table, f"{path}/seg-*", str(tmp_path / "ckpt"), schema,
+        cfg=CFG, max_files_per_trigger=6,
+    )
+    q2.awaitTermination(300)
+    assert table.manifest()["version"] == v
+    assert table_state(table.read()) == oracle_state
