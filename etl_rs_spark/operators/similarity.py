@@ -1,0 +1,183 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two strategies over ``array<float>`` embeddings:
+
+- ``cosine_topk`` — exact brute force: broadcast the (small) query set
+  against the corpus, dot products via zip_with/aggregate (codegen, no
+  Python), per-query top-k via window. The baseline and the verifier.
+- ``lsh_topk`` — random-hyperplane LSH: sign-bit bucket per plane group,
+  equi join query->corpus on bucket, rank within bucket. The scale path:
+  corpus is bucketed once (write-time partitioning at 100 TB), probes
+  touch only matching buckets.
+
+Hyperplanes are deterministic ±1 vectors derived from the same
+arithmetic hash family as dedup_scale (h_j(d) mod 2), so an external
+SQL oracle reproduces bucket ids exactly. Scores are computed in double
+precision and rounded to 6 decimals before ranking so that rank order
+is reproducible across engines; ties break on corpus id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_rs_spark.operators.text import HASH_P, hash_params
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product — deterministic order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Null (not error) on zero-norm vectors — the engine's null-on-
+    invalid rule, and ANSI-mode safe."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (queries are small by construction; for
+    query sets beyond broadcast size, swap in the LSH path). Excludes
+    self-matches. Returns (query_id, neighbor_id, score, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score", F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def hyperplane_sign(vec: Column, plane_idx: int, dim: int) -> Column:
+    """Sign bit of <vec, plane> for the deterministic ±1 hyperplane
+    plane[d] = +1 if h_j(d) mod 2 == 0 else -1."""
+    a, b = hash_params(plane_idx)
+    signed = F.zip_with(
+        vec,
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        # cast before multiply: int*int overflows under ANSI mode
+        lambda x, d: F.when(
+            ((d.cast("bigint") * a + b) % F.lit(HASH_P)) % 2 == 0, x.cast("double")
+        ).otherwise(-x.cast("double")),
+    )
+    s = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+    return (F.round(s, 6) > 0).cast("int")
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """Bucket id = concatenated sign bits of n_planes hyperplanes."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        bucket = bucket * 2 + hyperplane_sign(vec, j, dim)
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k: exact ranking restricted to the query's LSH bucket.
+
+    The corpus is bucketed by sign-LSH (at scale: a write-time partition
+    column, so a probe reads one partition); query->corpus is then an
+    equi join on bucket. Recall < 1 by construction; raise n_planes'
+    inverse (fewer planes -> bigger buckets -> higher recall) or add
+    multiprobe to trade cost for recall.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
+    )
+    scored = (
+        q.join(c, "_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score", F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.98,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket self-join (near-
+    identical vectors land in the same bucket with high probability),
+    exact cosine verify, threshold. Returns (id_l, id_r, score)."""
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_l"),
+            F.col(f"r.{id_col}").alias("id_r"),
+            F.round(cosine(F.col("l._v"), F.col("r._v")), round_digits).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

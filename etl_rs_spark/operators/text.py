@@ -1,0 +1,162 @@
+"""Text-analysis operators for training-data pipelines.
+
+The etl-rs reference normalizes *fields* (SURVEY.md §2.10); a 100 TB
+training-data pipeline normalizes *documents*. These operators extend the
+same per-record, null-on-invalid philosophy to document-level features:
+tokenization, quality scoring, language identification, fingerprinting.
+
+All hot paths are native Column expressions (whole-stage codegen, zero
+Python); the only join is a broadcast against a tiny profile table.
+Every operator is deterministic — required for the DuckDB oracle parity
+checks and for reproducible pipeline re-runs at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Modulus for all arithmetic hashes: 2^31 - 1 (Mersenne prime). Products
+# of two residues stay < 2^62, inside bigint — the same arithmetic is
+# expressible in ANSI SQL, which is what makes the oracles exact.
+HASH_P = 2_147_483_647
+
+
+def hash_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the i-th universal hash h(x)=(a*x+b) mod p.
+    Knuth multiplicative constants; a is never 0."""
+    a = (2_654_435_761 * (i + 1) + 1) % HASH_P
+    b = (40_503 * (i + 1) + 7) % HASH_P
+    return (a or 1), b
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization (the corpora here are space-separated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """GPT-2-style pre-tokenization approximation: letter runs, single
+    digits, single punctuation marks. Pure regexp_extract_all — JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_REGEX), 0)
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: counts, average word length,
+    type/token ratio. One narrow projection, no shuffle."""
+    w = words(text_col)
+    return df.withColumns(
+        {
+            "n_words": F.size(w).cast("int"),
+            "n_distinct_words": F.size(F.array_distinct(w)).cast("int"),
+            "avg_word_len": F.aggregate(
+                w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+            )
+            / F.size(w),
+            "distinct_ratio": F.size(F.array_distinct(w)) / F.size(w),
+        }
+    )
+
+
+DEFAULT_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    min_words: int = 5,
+    max_avg_word_len: float = 20.0,
+) -> DataFrame:
+    """Heuristic document quality: stopword ratio, alpha ratio, length
+    gates — the C4/Gopher-rule shape, all as codegen'd expressions.
+
+    Adds ``stopword_ratio``, ``alpha_ratio``, ``quality_ok``.
+    """
+    w = words(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_words = F.size(w)
+    n_stop = F.size(F.array_intersect(F.array_distinct(w), stop_arr))
+    text = F.col(text_col)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    avg_len = F.aggregate(w, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)) / n_words
+    return df.withColumns(
+        {
+            "stopword_ratio": n_stop / F.greatest(F.size(F.array_distinct(w)), F.lit(1)),
+            "alpha_ratio": n_alpha / F.greatest(F.length(text), F.lit(1)),
+            "quality_ok": (n_words >= min_words) & (avg_len <= max_avg_word_len),
+        }
+    )
+
+
+# Tiny built-in function-word profiles; real deployments pass corpus-
+# derived profiles. Scoring = broadcast join + sum of weights — the
+# n-gram-heuristic shape without any Python in the loop.
+DEFAULT_LANG_PROFILES: dict[str, dict[str, float]] = {
+    "en": {"the": 3.0, "and": 2.0, "of": 2.0, "is": 1.5, "a": 1.0, "to": 1.5},
+    "fr": {"le": 3.0, "la": 2.5, "et": 2.0, "de": 2.0, "un": 1.0, "est": 1.5},
+    "es": {"el": 3.0, "la": 2.5, "y": 2.0, "de": 2.0, "un": 1.0, "es": 1.5},
+    "de": {"der": 3.0, "die": 3.0, "und": 2.0, "das": 2.0, "ist": 1.5, "ein": 1.0},
+}
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, dict[str, float]] | None = None,
+) -> DataFrame:
+    """Language ID by function-word profile scoring.
+
+    explode(words) -> broadcast join on the (lang, word, weight) profile
+    table -> sum weight per (doc, lang) -> argmax lang (ties broken
+    lexicographically). Docs matching no profile word get lang_pred null.
+    At 100 TB the explode is map-local and the join is broadcast; the
+    only shuffle is the per-doc aggregation.
+    """
+    profiles = profiles or DEFAULT_LANG_PROFILES
+    spark = df.sparkSession
+    rows = [(lang, w, float(wt)) for lang, p in profiles.items() for w, wt in p.items()]
+    prof = spark.createDataFrame(rows, "lang_cand string, word string, weight double")
+
+    tokens = df.select(id_col, F.explode(words(text_col)).alias("word"))
+    scored = (
+        tokens.join(F.broadcast(prof), "word")
+        .groupBy(id_col, "lang_cand")
+        .agg(F.sum("weight").alias("score"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min_by("lang_cand", F.struct((-F.col("score")).alias("s"), F.col("lang_cand"))).alias("lang_pred"),
+        F.max("score").alias("lang_score"),
+    )
+    return df.join(best, id_col, "left")
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+) -> DataFrame:
+    """Order-sensitive document fingerprint: a positional polynomial over
+    word hashes, mod 2^31-1. Identical word sequences collide with
+    probability 1; reorderings don't (unlike a bag-of-words hash).
+
+    word hash here is the word's length-weighted character sum surrogate
+    (cheap, SQL-expressible); callers needing stronger hashes compose
+    with ``word_id`` vocab mapping from dedup_scale.
+    """
+    w = words(text_col)
+    # h(word) = (len(word) * 31 + ascii(first char)) — SQL-expressible
+    wh = F.transform(w, lambda x: (F.length(x) * 31 + F.ascii(F.substring(x, 1, 1))).cast("bigint"))
+    pos_weighted = F.zip_with(
+        wh,
+        F.sequence(F.lit(1), F.size(w)),
+        lambda h, i: (h * i) % F.lit(HASH_P),
+    )
+    fp = F.aggregate(pos_weighted, F.lit(0).cast("bigint"), lambda a, x: (a + x) % F.lit(HASH_P))
+    return df.withColumn(out_col, fp)

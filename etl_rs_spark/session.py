@@ -12,10 +12,24 @@ Local testing runs on ``local[N]`` but every knob is chosen for the
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship etl_rs_spark to executors (the --py-files mechanism, done
+    programmatically). Pandas-UDF closures reference functions in this
+    package by module path; executor Python workers must be able to
+    import it regardless of the driver's cwd/sys.path."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zip_base = os.path.join(tempfile.gettempdir(), "etl_rs_spark_pkg")
+    zip_path = shutil.make_archive(zip_base, "zip", root_dir=root, base_dir="etl_rs_spark")
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def get_spark(
@@ -44,4 +58,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
