@@ -1,0 +1,131 @@
+"""Benchmark harness — headline queries + CDC replay throughput.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "cdc_replay_events_per_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": 0.1, ...}
+
+The headline metric is the north-rule one: sustained change-events/sec
+through the full CDC path (synthetic binlog -> normalize -> LWW ->
+exactly-once lakehouse MERGE). Query timings force full execution via
+the noop sink (no driver collect of large results).
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+jobs/scaling_bench.py which writes BENCH/BASELINE.md; this file is the
+per-round driver entry point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from etl_rs_spark.operators.lww import lww_agg
+from etl_rs_spark.operators.normalize_cdc import normalize_events
+from etl_rs_spark.session import get_spark
+from etl_rs_spark.sinks.lakehouse import LakehouseTable
+from etl_rs_spark.sources.binlog import BinlogSpec, gen_events
+from etl_rs_spark.streaming.replay import process_batch
+
+# q19 excluded: the synthetic corpus's 31-word vocabulary makes
+# word-set LSH pairs quadratic in corpus self-similarity (millions of
+# true >=0.6 pairs at sf0.1) — a property of the data, not the engine;
+# q21 (shingle dedup) covers the near-dup path at bench scale.
+BENCH_QUERIES = [
+    "q01_pricing_summary", "q02_top_orders", "q03_nation_rollup",
+    "q04_customers_no_urgent", "q05_priority_semi", "q06_repeat_orders_window",
+    "q07_order_pairs", "q08_order_lists", "q09_label_union",
+    "q10_cdc_lww", "q11_events_agg", "q12_transform_siret_pce",
+    "q13_transform_nom", "q14_doc_token_stats", "q15_doc_quality",
+    "q16_doc_fingerprint", "q17_dedup_exact", "q18_minhash_signatures",
+    "q20_simhash", "q21_ngram_jaccard_pairs", "q22_cosine_topk",
+    "q23_embedding_lsh_buckets", "q24_multimodal_features",
+    "q25_cdc_replay_state",
+]
+
+REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "2000000"))
+REPLAY_DOCS = int(os.environ.get("BENCH_REPLAY_DOCS", "200000"))
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = entry.queries()
+    # warmup: JVM/codegen/parquet-footer and Python-worker spin-up costs
+    # land here, not on the first timed query
+    for t in ["lineitem", "orders", "documents", "embeddings", "events"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    force(qs["q24_multimodal_features"](spark, sf_dir))
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        force(qs[name](spark, sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def bench_replay(spark) -> dict:
+    """North-rule metric: events/sec through normalize -> LWW ->
+    exactly-once MERGE, batch-replayed over an in-memory binlog."""
+    spec = BinlogSpec(n_events=REPLAY_EVENTS, n_docs=REPLAY_DOCS, n_partitions=32)
+    tmp = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        table = LakehouseTable(spark, os.path.join(tmp, "lake"), n_buckets=32)
+        events = gen_events(spark, spec)
+        t0 = time.monotonic()
+        process_batch(table, events, "bench:full")
+        merge_s = time.monotonic() - t0
+
+        # pure-dataflow rate (no sink commit): normalize + LWW only
+        t1 = time.monotonic()
+        norm = normalize_events(gen_events(spark, spec)).filter("_valid")
+        force(lww_agg(norm.drop("_valid", "partition"), key="doc_id"))
+        dataflow_s = time.monotonic() - t1
+        n = REPLAY_EVENTS
+        return {
+            "replay_events": n,
+            "replay_docs": REPLAY_DOCS,
+            "replay_merge_sec": round(merge_s, 3),
+            "events_per_sec_merge": round(n / merge_s, 1),
+            "replay_dataflow_sec": round(dataflow_s, 3),
+            "events_per_sec_dataflow": round(n / dataflow_s, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="etl-rs-spark-bench", master=f"local[{cpus}]")
+    try:
+        queries = bench_queries(spark, sf_dir)
+        replay = bench_replay(spark)
+        out = {
+            "metric": "cdc_replay_events_per_sec",
+            "value": replay["events_per_sec_merge"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "total_query_sec": round(sum(queries.values()), 3),
+            **replay,
+            "cpus": int(cpus),
+        }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

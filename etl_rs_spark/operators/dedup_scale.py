@@ -265,7 +265,11 @@ def ngram_shingles(word_ids: Column, n: int = 3) -> Column:
     polynomial (((w1*B + w2)*B + w3) mod p with B=1_000_003."""
     B = 1_000_003
     k = F.size(word_ids)
-    idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0)))
+    # guard k < n explicitly: Spark's sequence(1, 0) steps BACKWARDS
+    # ([1, 0]), which would probe out-of-bounds indices (ANSI error)
+    idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     def shingle_hash(i: Column) -> Column:
         acc = F.lit(0).cast("bigint")
         for j in range(n):
@@ -282,29 +286,44 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Pairwise n-gram Jaccard within blocking groups (e.g. same lang or
-    same LSH bucket). The blocking equality keeps the join equi — the
-    O(k^2) blow-up is bounded by the block, exactly as in the reference's
-    Nom-blocked dedup (operators/dedup.py)."""
+    """n-gram Jaccard pairs within blocking groups via an inverted
+    index (sparse similarity join).
+
+    Instead of generating every in-block pair and intersecting shingle
+    arrays (O(k^2) pairs x O(s) intersect), explode shingles into
+    postings and equi-join on (block, shingle): only pairs that share
+    >= 1 shingle are ever materialized, and |intersection| falls out of
+    a count per pair. |union| = |A| + |B| - |inter|. Identical result
+    set (a pair sharing zero shingles has jaccard 0 < threshold), but
+    the shuffle key is the shingle — the plan a similarity join should
+    have at 100 TB. Blocking (e.g. lang) stays in the join key."""
     sh = docs.select(
-        id_col,
+        F.col(id_col),
         F.col(blocking_col).alias("_blk"),
         ngram_shingles(F.col(word_ids_col), n).alias("_sh"),
     )
-    l, r = sh.alias("l"), sh.alias("r")
-    return (
+    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
+    postings = sh.select(F.col(id_col), "_blk", F.explode("_sh").alias("_s"))
+    l, r = postings.alias("l"), postings.alias("r")
+    inter = (
         l.join(
             r,
-            (F.col("l._blk") == F.col("r._blk"))
+            (F.col("l._s") == F.col("r._s"))
+            & (F.col("l._blk") == F.col("r._blk"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_l"),
-            F.col(f"r.{id_col}").alias("id_r"),
-            (
-                F.size(F.array_intersect("l._sh", "r._sh"))
-                / F.size(F.array_union("l._sh", "r._sh"))
-            ).alias("jaccard"),
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_l"), F.col(f"r.{id_col}").alias("id_r")
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_l", "_n": "_nl"}), "id_l")
+        .join(sizes.withColumnsRenamed({id_col: "id_r", "_n": "_nr"}), "id_r")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_nl") + F.col("_nr") - F.col("_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
     )

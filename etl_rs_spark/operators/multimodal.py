@@ -53,12 +53,14 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+def synth_media(spark: SparkSession, n: int, seed: int = 42, partitions: int = 8) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes). Generated
-    distributed from spark.range — no driver materialization."""
+    distributed from spark.range — no driver materialization. Small test
+    fixtures default to 8 partitions so a tiny table doesn't spin up one
+    Python worker per core."""
     mimes = F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("audio/wav"))
     df = (
-        spark.range(n)
+        spark.range(0, n, 1, numPartitions=min(partitions, max(1, n // 8) or 1))
         .withColumn("media_id", F.format_string("m-%08d", F.col("id")))
         .withColumn("mime", F.element_at(mimes, (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int")))
         .withColumn("width", (F.pmod(F.xxhash64("id", F.lit("w")), F.lit(512)) + 16).cast("int"))
