@@ -36,6 +36,7 @@ from etl_rs_spark.operators import multimodal as MM
 from etl_rs_spark.operators import similarity as SIM
 from etl_rs_spark.operators import text as TX
 from etl_rs_spark.operators.lww import lww_agg
+from etl_rs_spark.plans.filter_dsl import ListOptions, list_query
 from etl_rs_spark.operators.normalize_cdc import normalize_events
 from etl_rs_spark.sources.binlog import BinlogSpec, gen_events
 
@@ -457,6 +458,24 @@ def q25_cdc_replay_state(spark, sf_dir):
     )
 
 
+def q26_filter_dsl_list(spark, sf_dir):
+    """Q3/Q4 query-layer semantics (SURVEY.md §2.12): modql-style JSON
+    filter -> Catalyst predicates + ListOptions pagination with the '!'
+    descending prefix (reference crud_fns.rs:129-189, agent.rs:45-55)."""
+    o = _t(spark, sf_dir, "orders")
+    flt = {
+        "o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]},
+        "o_totalprice": {"$gte": 300000},
+        "$or": [{"o_orderstatus": "O"}, {"o_orderstatus": "F"}],
+    }
+    opts = ListOptions(limit=50, offset=10, order_bys=["!o_totalprice", "o_orderkey"])
+    out = list_query(o, flt, opts)
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        _cents(F.col("o_totalprice")).alias("price_c"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 
@@ -492,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_embedding_lsh_buckets": q23_embedding_lsh_buckets,
         "q24_multimodal_features": q24_multimodal_features,
         "q25_cdc_replay_state": q25_cdc_replay_state,
+        "q26_filter_dsl_list": q26_filter_dsl_list,
     }
 
 
@@ -829,6 +849,17 @@ def oracle_sql() -> dict[str, str]:
     sql["q23_embedding_lsh_buckets"] = f"""
         WITH {_QUANT_CTE}
         SELECT vec_id, CAST({bucket} AS INTEGER) AS bucket FROM quant
+    """
+
+    sql["q26_filter_dsl_list"] = """
+        SELECT o_orderkey, o_custkey, o_orderpriority,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_totalprice >= 300000
+          AND (o_orderstatus = 'O' OR o_orderstatus = 'F')
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 50 OFFSET 10
     """
 
     # q24/q25 are intentionally omitted: multimodal stub featurization

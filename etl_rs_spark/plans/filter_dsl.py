@@ -1,0 +1,164 @@
+"""JSON filter DSL + list options — the reference's query layer
+semantics (SURVEY.md §2.12) over DataFrames.
+
+The reference deserializes per-column typed op-maps (modql) into SQL
+conditions — e.g. ``{"id": {"$in": [1,2]}, "name": {"$contains": "Je"}}``
+(crates/libs/lib-core/src/model/agent.rs:45-55, usage :128-131) — and
+pages with ``ListOptions {limit, offset, order_bys}`` where a leading
+``!`` means descending and the defaults are limit=1000 / hard max 5000
+(crates/libs/lib-core/src/model/base.rs:14-15,
+crud_fns.rs:115-189). This module re-expresses both on the DataFrame
+API so they compile into Catalyst predicates (pushed down to the scan)
+instead of SQL strings.
+
+Filter grammar::
+
+    {col: scalar}                     -> col = scalar   ($eq shorthand)
+    {col: {"$op": operand, ...}}      -> AND of ops on that column
+    {"$or": [filter, filter, ...]}    -> OR of sub-filters
+    [filter, filter]                  -> OR (modql's Vec<F> semantics)
+
+Supported ops mirror modql's OpVals*: $eq $ne $lt $lte $gt $gte $in
+$notIn $contains $notContains $startsWith $endsWith $containsCi
+$startsWithCi $endsWithCi $null.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LIMIT = 1000   # reference base.rs:14 (LIST_LIMIT_DEFAULT)
+MAX_LIMIT = 5000       # reference base.rs:15 (LIST_LIMIT_MAX)
+
+
+class FilterError(ValueError):
+    pass
+
+
+def _escape_like(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
+
+def _op_to_column(col: Column, op: str, operand) -> Column:
+    if op == "$eq":
+        return col == operand
+    if op == "$ne":
+        return col != operand
+    if op == "$lt":
+        return col < operand
+    if op == "$lte":
+        return col <= operand
+    if op == "$gt":
+        return col > operand
+    if op == "$gte":
+        return col >= operand
+    if op == "$in":
+        return col.isin(list(operand))
+    if op == "$notIn":
+        return ~col.isin(list(operand))
+    if op == "$contains":
+        return col.like(f"%{_escape_like(operand)}%")
+    if op == "$notContains":
+        return ~col.like(f"%{_escape_like(operand)}%")
+    if op == "$startsWith":
+        return col.like(f"{_escape_like(operand)}%")
+    if op == "$endsWith":
+        return col.like(f"%{_escape_like(operand)}")
+    if op == "$containsCi":
+        return F.lower(col).like(f"%{_escape_like(operand.lower())}%")
+    if op == "$startsWithCi":
+        return F.lower(col).like(f"{_escape_like(operand.lower())}%")
+    if op == "$endsWithCi":
+        return F.lower(col).like(f"%{_escape_like(operand.lower())}")
+    if op == "$null":
+        return col.isNull() if operand else col.isNotNull()
+    raise FilterError(f"unsupported filter op: {op}")
+
+
+def filter_to_column(flt) -> Column:
+    """Compile a filter (dict, or list-of-dicts = OR) to one Column."""
+    if isinstance(flt, list):
+        if not flt:
+            return F.lit(True)
+        out = filter_to_column(flt[0])
+        for f_ in flt[1:]:
+            out = out | filter_to_column(f_)
+        return out
+    if not isinstance(flt, dict):
+        raise FilterError(f"filter must be dict or list, got {type(flt).__name__}")
+    conds: list[Column] = []
+    for key, val in flt.items():
+        if key == "$or":
+            conds.append(filter_to_column(list(val)))
+            continue
+        col = F.col(key)
+        if isinstance(val, dict):
+            for op, operand in val.items():
+                conds.append(_op_to_column(col, op, operand))
+        else:
+            conds.append(col.isNull() if val is None else (col == val))
+    out = F.lit(True)
+    for c in conds:
+        out = out & c
+    return out
+
+
+@dataclass
+class ListOptions:
+    """ORDER BY / LIMIT / OFFSET with the reference's defaults and the
+    '!'-prefix descending convention (modql ListOptions)."""
+
+    limit: int | None = None
+    offset: int | None = None
+    order_bys: list[str] = field(default_factory=lambda: ["id"])
+
+    def effective_limit(self) -> int:
+        limit = DEFAULT_LIMIT if self.limit is None else self.limit
+        if limit > MAX_LIMIT:
+            raise FilterError(
+                f"limit {limit} exceeds max {MAX_LIMIT}"  # crud_fns.rs:169-176
+            )
+        return limit
+
+    def sort_columns(self) -> list[Column]:
+        cols = []
+        for ob in self.order_bys:
+            if ob.startswith("!"):
+                cols.append(F.col(ob[1:]).desc())
+            else:
+                cols.append(F.col(ob).asc())
+        return cols
+
+
+def list_query(
+    df: DataFrame, flt=None, opts: ListOptions | None = None
+) -> DataFrame:
+    """The reference's `list` entry point (crud_fns.rs:129-189):
+    filter -> order -> offset/limit."""
+    opts = opts or ListOptions(order_bys=[df.columns[0]])
+    out = df.filter(filter_to_column(flt)) if flt is not None else df
+    out = out.orderBy(*opts.sort_columns())
+    if opts.offset:
+        out = out.offset(opts.offset)
+    return out.limit(opts.effective_limit())
+
+
+def get_by_id(df: DataFrame, id_col: str, id_val) -> DataFrame:
+    """Point lookup (crud_fns.rs:72-97)."""
+    return df.filter(F.col(id_col) == id_val)
+
+
+def first(df: DataFrame, flt=None, opts: ListOptions | None = None) -> DataFrame:
+    """First-row semantics: order by id, limit 1 (crud_fns.rs:99-127)."""
+    opts = opts or ListOptions(order_bys=[df.columns[0]])
+    opts.limit = 1
+    return list_query(df, flt, opts)
+
+
+def count_query(df: DataFrame, flt=None) -> int:
+    """COUNT(*) with filter (crud_fns.rs:281-308)."""
+    out = df.filter(filter_to_column(flt)) if flt is not None else df
+    return out.count()

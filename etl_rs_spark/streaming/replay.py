@@ -72,20 +72,27 @@ def process_batch(
     events = mapping.apply(events, passthrough=tuple(ENVELOPE))
     norm = normalize_events(events, vocab=cfg.vocab, max_len=cfg.max_len).persist()
     try:
+        # ONE pass over the batch for both lineage and committed offsets:
+        # (partition, offset) duplicate-delivery counting decomposes by
+        # partition, so a per-partition rollup carries everything.
+        per_part = (
+            norm.groupBy("partition")
+            .agg(
+                F.count(F.lit(1)).alias("rows_in"),
+                (F.count(F.lit(1)) - F.count_distinct("offset")).alias("dups"),
+                F.sum(F.when(~F.col("_valid"), 1).otherwise(0)).alias("invalid"),
+                F.max("offset").alias("max_offset"),
+            )
+            .collect()
+        )
+        offsets = {int(r["partition"]): int(r["max_offset"]) for r in per_part}
         lineage: dict[str, int] = {}
         if cfg.collect_lineage:
-            stats = norm.agg(
-                F.count(F.lit(1)).alias("rows_in"),
-                (
-                    F.count(F.lit(1))
-                    - F.count_distinct(F.col("partition"), F.col("offset"))
-                ).alias("dup_deliveries"),
-                F.sum(F.when(~F.col("_valid"), 1).otherwise(0)).alias("invalid_dropped"),
-            ).collect()[0]
-            lineage = {k: int(stats[k] or 0) for k in stats.asDict()}
-
-        offsets_rows = norm.groupBy("partition").agg(F.max("offset").alias("o")).collect()
-        offsets = {int(r["partition"]): int(r["o"]) for r in offsets_rows}
+            lineage = {
+                "rows_in": sum(int(r["rows_in"]) for r in per_part),
+                "dup_deliveries": sum(int(r["dups"]) for r in per_part),
+                "invalid_dropped": sum(int(r["invalid"] or 0) for r in per_part),
+            }
 
         valid = norm.filter("_valid").drop("_valid", "partition")
         lww = lww_salted if cfg.salted_lww else lww_agg

