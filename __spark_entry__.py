@@ -458,6 +458,53 @@ def q25_cdc_replay_state(spark, sf_dir):
     )
 
 
+def q27_embedding_near_dups(spark, sf_dir):
+    """Embedding near-dup pairs: sign-LSH bucket self-join (candidates
+    share a bucket), exact cosine verify over quantized vectors. The
+    0.3 threshold suits this corpus's score range (max ~0.4)."""
+    qz = _quantized(spark, sf_dir)
+    b = qz.select(
+        "vec_id", "qv", SIM.lsh_bucket(F.col("qv"), 4, 64).alias("_bucket")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l._bucket") == F.col("r._bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_l"),
+            F.col("r.vec_id").alias("id_r"),
+            F.round(
+                _int_dot(F.col("l.qv"), F.col("r.qv"))
+                / F.nullif(
+                    F.sqrt(_int_dot(F.col("l.qv"), F.col("l.qv")))
+                    * F.sqrt(_int_dot(F.col("r.qv"), F.col("r.qv"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= 0.3)
+    )
+
+
+def q28_normalize_tokens(spark, sf_dir):
+    """The input_hint's normalize op cross-checked on an independent
+    engine: clip token ids to [0, vocab), truncate to max_len, recompute
+    n_tok (operators/normalize_cdc.py semantics; vocab=20 exercises
+    clipping against the word-id range)."""
+    wi = _doc_word_ids(spark, sf_dir)
+    cleaned = F.slice(F.filter("word_ids", lambda t: t < 20), 1, 50)
+    return wi.select(
+        "doc_id",
+        F.size(cleaned).alias("n_tok"),
+        F.aggregate(cleaned, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_tok"),
+        F.when(F.size(cleaned) > 0, F.element_at(cleaned, 1)).alias("first_tok"),
+    )
+
+
 def q26_filter_dsl_list(spark, sf_dir):
     """Q3/Q4 query-layer semantics (SURVEY.md §2.12): modql-style JSON
     filter -> Catalyst predicates + ListOptions pagination with the '!'
@@ -512,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_multimodal_features": q24_multimodal_features,
         "q25_cdc_replay_state": q25_cdc_replay_state,
         "q26_filter_dsl_list": q26_filter_dsl_list,
+        "q27_embedding_near_dups": q27_embedding_near_dups,
+        "q28_normalize_tokens": q28_normalize_tokens,
     }
 
 
@@ -860,6 +909,38 @@ def oracle_sql() -> dict[str, str]:
           AND (o_orderstatus = 'O' OR o_orderstatus = 'F')
         ORDER BY o_totalprice DESC, o_orderkey ASC
         LIMIT 50 OFFSET 10
+    """
+
+    near_bits = [_hyperplane_bit_sql(j) for j in range(4)]
+    near_bucket = " + ".join(f"{b} * {2 ** (3 - j)}" for j, b in enumerate(near_bits))
+    sql["q27_embedding_near_dups"] = f"""
+        WITH {_QUANT_CTE},
+        bkt AS (
+          SELECT vec_id, qv, CAST({near_bucket} AS INTEGER) AS bucket FROM quant
+        ),
+        scored AS (
+          SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+                 round(
+                   CAST(list_sum(list_transform(range(1, 65), i -> l.qv[i] * r.qv[i])) AS DOUBLE)
+                   / nullif(
+                       sqrt(CAST(list_sum(list_transform(range(1, 65), i -> l.qv[i] * l.qv[i])) AS DOUBLE))
+                     * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> r.qv[i] * r.qv[i])) AS DOUBLE)),
+                     0.0), 6) AS score
+          FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        )
+        SELECT id_l, id_r, score FROM scored WHERE score >= 0.3
+    """
+
+    sql["q28_normalize_tokens"] = f"""
+        WITH {_WORDS_CTE},
+        cleaned AS (
+          SELECT doc_id, (list_filter(wid, x -> x < 20))[1:50] AS ct FROM ids
+        )
+        SELECT doc_id,
+               len(ct) AS n_tok,
+               CAST(coalesce(list_sum(ct), 0) AS BIGINT) AS sum_tok,
+               CASE WHEN len(ct) > 0 THEN ct[1] END AS first_tok
+        FROM cleaned
     """
 
     # q24/q25 are intentionally omitted: multimodal stub featurization

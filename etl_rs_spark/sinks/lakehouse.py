@@ -173,37 +173,51 @@ class LakehouseTable:
                 chg = chg.withColumn(n, F.lit(None).cast(t))
         chg = chg.select(self.key_col, *target_payload, *META_COLS, "_bucket")
 
-        touched = sorted(
-            r["_bucket"] for r in chg.select("_bucket").distinct().collect()
-        )
-        cur_files = [f for b in touched for f in man["buckets"].get(str(b), [])]
-        cur = self._read_files(man, cur_files)
-
-        c, n = cur.alias("c"), chg.alias("n")
-        joined = c.join(n, on=F.col(f"c.{self.key_col}") == F.col(f"n.{self.key_col}"), how="full_outer")
-        take_new = F.col(f"c.{self.key_col}").isNull() | (
-            F.struct(F.col("n._lsn"), F.col("n._offset"))
-            > F.struct(F.col("c._lsn"), F.col("c._offset"))
-        )
-        take_new = F.col(f"n.{self.key_col}").isNotNull() & take_new
-        merged_cols = [
-            F.coalesce(F.col(f"n.{self.key_col}"), F.col(f"c.{self.key_col}")).alias(self.key_col)
-        ]
-        for col in target_payload + META_COLS:
-            merged_cols.append(
-                F.when(take_new, F.col(f"n.{col}")).otherwise(F.col(f"c.{col}")).alias(col)
+        table_empty = not any(man["buckets"].values())
+        if table_empty:
+            # bulk fast path (initial load / bench bulk replay): no
+            # current rows can conflict, so skip BOTH the touched-bucket
+            # pre-scan and the full-outer join — one shuffle, one write.
+            merged = chg
+            touched = None  # derived from the write output below
+        else:
+            touched = sorted(
+                r["_bucket"] for r in chg.select("_bucket").distinct().collect()
             )
-        merged = joined.select(*merged_cols)
-        merged = merged.withColumn("_bucket", self._bucket(F.col(self.key_col)))
+            cur_files = [f for b in touched for f in man["buckets"].get(str(b), [])]
+            cur = self._read_files(man, cur_files)
+
+            c, n = cur.alias("c"), chg.alias("n")
+            joined = c.join(n, on=F.col(f"c.{self.key_col}") == F.col(f"n.{self.key_col}"), how="full_outer")
+            take_new = F.col(f"c.{self.key_col}").isNull() | (
+                F.struct(F.col("n._lsn"), F.col("n._offset"))
+                > F.struct(F.col("c._lsn"), F.col("c._offset"))
+            )
+            take_new = F.col(f"n.{self.key_col}").isNotNull() & take_new
+            merged_cols = [
+                F.coalesce(F.col(f"n.{self.key_col}"), F.col(f"c.{self.key_col}")).alias(self.key_col)
+            ]
+            for col in target_payload + META_COLS:
+                merged_cols.append(
+                    F.when(take_new, F.col(f"n.{col}")).otherwise(F.col(f"c.{col}")).alias(col)
+                )
+            merged = joined.select(*merged_cols)
+            merged = merged.withColumn("_bucket", self._bucket(F.col(self.key_col)))
 
         version = man["version"] + 1
         out_dir = os.path.join(self.path, "data", f"v{version}")
         (
-            merged.repartition(max(1, len(touched)), "_bucket")
+            merged.repartition(self.n_buckets if touched is None else max(1, len(touched)), "_bucket")
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )
+        if touched is None:
+            touched = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(out_dir)
+                if d.startswith("_bucket=")
+            )
 
         new_buckets = dict(man["buckets"])
         for b in touched:

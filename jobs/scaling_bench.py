@@ -53,24 +53,17 @@ def cpu_calibration(levels: list[int]) -> dict[int, float]:
     return out
 
 
-REPS = int(os.environ.get("SCALING_REPS", "2"))
+REPS = int(os.environ.get("SCALING_REPS", "3"))
 
 
-def run_level(cpus: int, events: int, docs: int, mode: str, binlog: str) -> dict:
-    """Best-of-REPS fresh-JVM runs (the VM's clock/steal noise is large
-    relative to a single run; best-of is the standard mitigation)."""
-    best: dict | None = None
-    for _ in range(REPS):
-        out = subprocess.run(
-            [sys.executable, REPLAY, "--events", str(events), "--docs", str(docs),
-             "--cpus", str(cpus), "--mode", mode, "--binlog", binlog],
-            capture_output=True, text=True, check=True, cwd=ROOT,
-        )
-        last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        r = json.loads(last)
-        if best is None or r["events_per_sec"] > best["events_per_sec"]:
-            best = r
-    return best
+def run_once(cpus: int, events: int, docs: int, mode: str, binlog: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, REPLAY, "--events", str(events), "--docs", str(docs),
+         "--cpus", str(cpus), "--mode", mode, "--binlog", binlog],
+        capture_output=True, text=True, check=True, cwd=ROOT,
+    )
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
 
 
 def main() -> None:
@@ -92,14 +85,20 @@ def main() -> None:
     )
     print(f"[scaling] binlog materialized at {binlog_dir}", file=sys.stderr)
 
-    results: dict[str, dict[int, dict]] = {}
-    for mode in ["dataflow", "merge"]:
-        results[mode] = {}
-        for cpus in LEVELS:
-            r = run_level(cpus, events, docs, mode, binlog_dir)
-            results[mode][cpus] = r
-            print(f"[scaling] mode={mode} cpus={cpus}: "
-                  f"{r['events_per_sec']} ev/s ({r['elapsed_sec']}s)", file=sys.stderr)
+    # best-of-REPS, INTERLEAVED across levels: single-JVM runs vary
+    # +-30% (JIT/GC/page-cache state), so reps of different levels are
+    # alternated to decorrelate machine drift from the level.
+    results: dict[str, dict[int, dict]] = {m: {} for m in ["dataflow", "merge"]}
+    for rep in range(REPS):
+        for mode in ["dataflow", "merge"]:
+            for cpus in LEVELS:
+                r = run_once(cpus, events, docs, mode, binlog_dir)
+                cur = results[mode].get(cpus)
+                if cur is None or r["events_per_sec"] > cur["events_per_sec"]:
+                    results[mode][cpus] = r
+                print(f"[scaling] rep={rep} mode={mode} cpus={cpus}: "
+                      f"{r['events_per_sec']} ev/s ({r['elapsed_sec']}s)",
+                      file=sys.stderr)
 
     def eff(mode: str, a: int, b: int) -> float:
         return round(
