@@ -48,7 +48,25 @@ ENVELOPE_COLS = ["op", "lsn", "offset", "partition", "ts"]
 
 
 class LakehouseTable:
-    def __init__(self, spark: SparkSession, path: str, key_col: str = "doc_id", n_buckets: int = 16):
+    """``mode="cow"`` (copy-on-write, default): a MERGE rewrites every
+    bucket the batch touches; reads are plain scans. ``mode="mor"``
+    (merge-on-read): a MERGE only APPENDS the batch's delta files to
+    their buckets; readers LWW-resolve (max (_lsn,_offset) per key)
+    across base+delta files, and ``compact()`` folds deltas back into
+    one base per bucket. MOR turns the per-batch write cost from
+    O(table) to O(batch) — the Iceberg MOR/positional-delete shape —
+    at the price of an agg at read time until compaction."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str = "doc_id",
+        n_buckets: int = 16,
+        mode: str = "cow",
+    ):
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.spark = spark
         self.path = path
         self.key_col = key_col
@@ -60,6 +78,7 @@ class LakehouseTable:
                     "version": 0,
                     "key_col": key_col,
                     "n_buckets": n_buckets,
+                    "mode": mode,
                     "payload_schema": [],  # [name, ddl_type] pairs, additive
                     "buckets": {},
                     "committed": [],
@@ -69,6 +88,7 @@ class LakehouseTable:
                 },
                 version=0,
             )
+        self.mode = self.manifest().get("mode", "cow")
 
     # -- manifest plumbing --------------------------------------------------
 
@@ -122,10 +142,24 @@ class LakehouseTable:
             df = df.withColumn(name, F.lit(None).cast(dtype))
         return df.select(*[f.name for f in schema.fields])
 
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        """Merge-on-read LWW: latest (_lsn, _offset) version per key
+        wins (the read-side twin of the write-side max_by)."""
+        payload = [c for c in df.columns if c != self.key_col]
+        winner = F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(F.col("_lsn"), F.col("_offset")),
+        ).alias("_w")
+        out = df.groupBy(self.key_col).agg(winner)
+        return out.select(self.key_col, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
     def read(self, include_meta: bool = False) -> DataFrame:
         man = self.manifest()
         files = [f for fl in man["buckets"].values() for f in fl]
-        df = self._read_files(man, files).filter(~F.col("_deleted"))
+        df = self._read_files(man, files)
+        if self.mode == "mor":
+            df = self._resolve(df)
+        df = df.filter(~F.col("_deleted"))
         return df if include_meta else df.drop(*META_COLS)
 
     def committed_offsets(self) -> dict[int, int]:
@@ -174,7 +208,12 @@ class LakehouseTable:
         chg = chg.select(self.key_col, *target_payload, *META_COLS, "_bucket")
 
         table_empty = not any(man["buckets"].values())
-        if table_empty:
+        if self.mode == "mor":
+            # merge-on-read: the batch IS the delta — append its files,
+            # never read or rewrite existing data. O(batch) write cost.
+            merged = chg
+            touched = None
+        elif table_empty:
             # bulk fast path (initial load / bench bulk replay): no
             # current rows can conflict, so skip BOTH the touched-bucket
             # pre-scan and the full-outer join — one shuffle, one write.
@@ -227,7 +266,11 @@ class LakehouseTable:
                 if os.path.isdir(bdir)
                 else []
             )
-            new_buckets[str(b)] = files
+            if self.mode == "mor":
+                # append the delta; existing base/delta files stay live
+                new_buckets[str(b)] = new_buckets.get(str(b), []) + files
+            else:
+                new_buckets[str(b)] = files
         man["buckets"] = new_buckets
 
         for p, o in (offsets or {}).items():
@@ -241,3 +284,43 @@ class LakehouseTable:
         man["version"] = version
         self._write_manifest(man, version)
         return {"skipped": False, "version": version, "touched_buckets": touched}
+
+    # -- compaction (merge-on-read maintenance) -----------------------------
+
+    def compact(self) -> dict:
+        """Fold all MOR delta files into one base per bucket: LWW-resolve
+        every key, rewrite the buckets, swap the manifest. After
+        compaction a read is a plain scan again (until the next delta).
+        Tombstones are RETAINED by compaction (a replayed older insert
+        must still lose to the delete); drop them with a retention job
+        once the upstream log is known to be past their lsn."""
+        man = self.manifest()
+        if self.mode != "mor":
+            return {"skipped": True, "reason": "cow table"}
+        files = [f for fl in man["buckets"].values() for f in fl]
+        n_files = len(files)
+        resolved = self._resolve(self._read_files(man, files))
+        resolved = resolved.withColumn("_bucket", self._bucket(F.col(self.key_col)))
+
+        version = man["version"] + 1
+        out_dir = os.path.join(self.path, "data", f"v{version}")
+        (
+            resolved.repartition(self.n_buckets, "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_buckets: dict[str, list[str]] = {}
+        for d in os.listdir(out_dir):
+            if not d.startswith("_bucket="):
+                continue
+            b = d.split("=", 1)[1]
+            bdir = os.path.join(out_dir, d)
+            new_buckets[b] = [
+                os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
+            ]
+        man["buckets"] = new_buckets
+        man["history"] = (man["history"] + [{"batch": "_compact", "version": version, "lineage": {}}])[-100:]
+        man["version"] = version
+        self._write_manifest(man, version)
+        return {"skipped": False, "version": version, "compacted_files": n_files}

@@ -27,7 +27,9 @@ def main() -> None:
         spec = BinlogSpec(
             n_events=args.events, n_docs=args.docs, n_partitions=args.partitions
         )
-        gen_events(spark, spec).repartition(args.files).write.mode(
+        # range-partition by lsn: real binlogs are written in log order,
+        # and lsn-sorted row groups let segment replays prune the scan
+        gen_events(spark, spec).repartitionByRange(args.files, "lsn").write.mode(
             "overwrite"
         ).parquet(args.out)
         print(args.out)

@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--mode", choices=["merge", "dataflow"], default="merge")
     ap.add_argument("--segments", type=int, default=1, help="replay in N ordered batches")
     ap.add_argument("--salted-lww", action="store_true")
+    ap.add_argument("--table-mode", choices=["cow", "mor"], default="cow")
+    ap.add_argument("--compact-after", action="store_true",
+                    help="run MOR compaction after the replay (timed separately)")
     ap.add_argument("--lake", default=None, help="lake table path (default: tmpdir)")
     ap.add_argument(
         "--binlog", default=None,
@@ -77,7 +80,7 @@ def main() -> None:
             # a real CDC engine replays a STORED log — materialize the
             # synthetic binlog first (untimed), then time read -> replay
             binlog_tmp = tempfile.mkdtemp(prefix="replay_binlog_")
-            gen_events(spark, spec).repartition(64).write.parquet(
+            gen_events(spark, spec).repartitionByRange(64, "lsn").write.parquet(
                 os.path.join(binlog_tmp, "binlog")
             )
             events = spark.read.parquet(os.path.join(binlog_tmp, "binlog"))
@@ -105,7 +108,7 @@ def main() -> None:
             tmp = None if args.lake else os.path.dirname(lake_path)
             # bucket count is a table property, not a cluster property —
             # fixed so both scaling levels do identical layout work
-            table = LakehouseTable(spark, lake_path, n_buckets=32)
+            table = LakehouseTable(spark, lake_path, n_buckets=32, mode=args.table_mode)
             cfg = ReplayConfig(salted_lww=args.salted_lww)
             if args.segments <= 1:
                 process_batch(table, events, "replay:bulk", cfg=cfg)
@@ -116,6 +119,10 @@ def main() -> None:
                     seg = events.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
                     process_batch(table, seg, f"replay:seg-{s}", cfg=cfg)
             elapsed = time.monotonic() - t0
+            if args.compact_after:
+                t1 = time.monotonic()
+                table.compact()
+                compact_sec = round(time.monotonic() - t1, 3)
             man = table.manifest()
             lineage = man["lineage"]
             committed = table.committed_offsets()
@@ -128,6 +135,8 @@ def main() -> None:
 
         print(json.dumps({
             "mode": args.mode,
+            "table_mode": args.table_mode,
+            "compact_sec": locals().get("compact_sec"),
             "cpus": args.cpus,
             "events": args.events,
             "docs": args.docs,

@@ -165,3 +165,45 @@ def test_streaming_replay(spark, tmp_path, binlog, oracle_state):
     q2.awaitTermination(300)
     assert table.manifest()["version"] == v
     assert table_state(table.read()) == oracle_state
+
+
+def test_mor_replay_matches_oracle_and_compacts(spark, tmp_path, binlog, oracle_state):
+    """Merge-on-read mode: append-only deltas + read-time LWW resolve
+    must yield the same final state as copy-on-write; compaction folds
+    deltas without changing the state."""
+    _, segs, _ = binlog
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor")
+    results = replay_segments(spark, table, segs, cfg=CFG)
+    assert all(not r["skipped"] for r in results)
+    assert table_state(table.read()) == oracle_state
+
+    man_before = table.manifest()
+    n_files_before = sum(len(v) for v in man_before["buckets"].values())
+    info = table.compact()
+    assert not info["skipped"] and info["compacted_files"] == n_files_before
+    n_files_after = sum(len(v) for v in table.manifest()["buckets"].values())
+    assert n_files_after < n_files_before
+    assert table_state(table.read()) == oracle_state
+
+    # exactly-once still holds after compaction
+    results = replay_segments(spark, table, segs, cfg=CFG)
+    assert all(r["skipped"] for r in results)
+    assert table_state(table.read()) == oracle_state
+
+
+def test_mor_merge_is_order_insensitive(spark, tmp_path, binlog, oracle_state):
+    """A delete committed in an early batch must beat an older insert
+    committed later — read-time LWW orders by (lsn, offset), not batch
+    arrival. (process_batch's offset high-water-mark assumes ordered
+    segments, so this drives table.merge directly with reversed
+    batches.)"""
+    _, segs, _ = binlog
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor")
+    for i, seg in enumerate(reversed(segs)):
+        df = spark.read.parquet(seg)
+        norm = normalize_events(df, VOCAB, MAX_LEN).filter("_valid").drop(
+            "_valid", "partition", "ts"
+        )
+        winners = lww_agg(norm, key="doc_id")
+        table.merge(winners, f"rev-{i}")
+    assert table_state(table.read()) == oracle_state
