@@ -288,11 +288,12 @@ def q16_doc_fingerprint(spark, sf_dir):
 # corpus dedup (training-data pipeline)
 
 def q17_dedup_exact(spark, sf_dir):
-    """Exact dedup survivors: min doc_id + multiplicity per content."""
+    """Exact dedup survivors (operators/dedup_scale.exact_dedup):
+    min-doc_id row per distinct content, plus multiplicity."""
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
-    ).select("doc_id", "n_copies")
+    survivors = DS.exact_dedup(d, ["text"]).select("doc_id", "text")
+    counts = d.groupBy("text").agg(F.count(F.lit(1)).alias("n_copies"))
+    return survivors.join(counts, "text").select("doc_id", "n_copies")
 
 
 def _doc_word_ids(spark, sf_dir):
@@ -382,39 +383,13 @@ def _quantized(spark, sf_dir):
     return e.select("vec_id", q.alias("qv"))
 
 
-def _int_dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda acc, x: acc + x
-    )
-
-
 def q22_cosine_topk(spark, sf_dir):
-    """Brute-force exact cosine top-5 for query vectors vec_id < 10
-    over quantized embeddings (bit-exact across engines)."""
+    """Brute-force exact cosine top-5 (operators/similarity.cosine_topk)
+    for query vectors vec_id < 10 over quantized embeddings — integer
+    dot products make the scores bit-exact across engines."""
     qz = _quantized(spark, sf_dir)
-    qs = qz.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
-    )
-    cs = qz.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"))
-    scored = (
-        F.broadcast(qs)
-        .crossJoin(cs)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "score",
-            _int_dot(F.col("qa"), F.col("qb"))
-            / F.nullif(
-                F.sqrt(_int_dot(F.col("qa"), F.col("qa")))
-                * F.sqrt(_int_dot(F.col("qb"), F.col("qb"))),
-                F.lit(0.0),
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    return SIM.cosine_topk(
+        qz.filter(F.col("vec_id") < 10), qz, k=5, id_col="vec_id", vec_col="qv"
     )
 
 
@@ -459,34 +434,12 @@ def q25_cdc_replay_state(spark, sf_dir):
 
 
 def q27_embedding_near_dups(spark, sf_dir):
-    """Embedding near-dup pairs: sign-LSH bucket self-join (candidates
-    share a bucket), exact cosine verify over quantized vectors. The
-    0.3 threshold suits this corpus's score range (max ~0.4)."""
+    """Embedding near-dup pairs (similarity.embedding_near_dup_pairs):
+    sign-LSH bucket self-join, exact cosine verify over quantized
+    vectors. The 0.3 threshold suits this corpus (max score ~0.4)."""
     qz = _quantized(spark, sf_dir)
-    b = qz.select(
-        "vec_id", "qv", SIM.lsh_bucket(F.col("qv"), 4, 64).alias("_bucket")
-    )
-    l, r = b.alias("l"), b.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l._bucket") == F.col("r._bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(
-            F.col("l.vec_id").alias("id_l"),
-            F.col("r.vec_id").alias("id_r"),
-            F.round(
-                _int_dot(F.col("l.qv"), F.col("r.qv"))
-                / F.nullif(
-                    F.sqrt(_int_dot(F.col("l.qv"), F.col("l.qv")))
-                    * F.sqrt(_int_dot(F.col("r.qv"), F.col("r.qv"))),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("score"),
-        )
-        .filter(F.col("score") >= 0.3)
+    return SIM.embedding_near_dup_pairs(
+        qz, dim=64, threshold=0.3, n_planes=4, id_col="vec_id", vec_col="qv"
     )
 
 
@@ -844,8 +797,8 @@ def oracle_sql() -> dict[str, str]:
         FROM cand c
         JOIN wsets wl ON wl.doc_id = c.id_l
         JOIN wsets wr ON wr.doc_id = c.id_r
-        WHERE CAST(len(list_intersect(wl.wset, wr.wset)) AS DOUBLE)
-              / len(list_distinct(list_concat(wl.wset, wr.wset))) >= 0.6
+        WHERE round(CAST(len(list_intersect(wl.wset, wr.wset)) AS DOUBLE)
+              / len(list_distinct(list_concat(wl.wset, wr.wset))), 6) >= 0.6
     """
 
     sql["q20_simhash"] = f"""
@@ -928,7 +881,7 @@ def oracle_sql() -> dict[str, str]:
                      0.0), 6) AS score
           FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
         )
-        SELECT id_l, id_r, score FROM scored WHERE score >= 0.3
+        SELECT id_l, id_r, score FROM scored WHERE round(score, 6) >= 0.3
     """
 
     sql["q28_normalize_tokens"] = f"""

@@ -121,7 +121,7 @@ def main() -> None:
         out = {
             "metric": "cdc_replay_events_per_sec",
             "value": replay["events_per_sec_merge"],
-            "unit": "sec",
+            "unit": "events/sec",
             "queries": queries,
             "sf": sf,
             "total_query_sec": round(sum(queries.values()), 3),

@@ -35,21 +35,31 @@ def exact_dedup(
     """Exact dedup: keep the min-id row per distinct content.
 
     One hash-partitioned aggregation (map-side partial min first), keyed
-    by the content columns themselves. For very wide content at scale,
-    key the shuffle on ``sha2(concat_ws(...))`` instead so only a 32-byte
-    digest moves — ``exact_dedup_digest`` below.
+    by the content columns themselves. NULL contents form their own
+    group (null-safe join — a plain equi semi-join would silently DROP
+    every null-content row). For very wide content at scale, key the
+    shuffle on a digest instead so only 32 bytes move —
+    ``exact_dedup_digest`` below.
     """
     keep = df.groupBy(*content_cols).agg(F.min(id_col).alias(id_col))
-    return df.join(keep, on=[*content_cols, id_col], how="left_semi")
+    l, r = df.alias("l"), keep.alias("r")
+    cond = F.col(f"l.`{id_col}`") == F.col(f"r.`{id_col}`")
+    for c in content_cols:
+        cond = cond & F.col(f"l.`{c}`").eqNullSafe(F.col(f"r.`{c}`"))
+    return l.join(r, cond, "left_semi")
 
 
 def exact_dedup_digest(
     df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
 ) -> DataFrame:
     """Exact dedup shuffling a sha2 digest instead of full content.
-    Digest collisions are ignored (2^-128); survivors = min id per digest."""
-    sep = F.lit("\x1f")
-    digest = F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), sep) for c in content_cols]), 256)
+    Digest collisions are ignored (2^-128); survivors = min id per
+    digest. The digest is over the JSON encoding of the content struct,
+    which is unambiguous under NULLs, empty strings, and values that
+    contain any would-be separator byte."""
+    digest = F.sha2(
+        F.to_json(F.struct(*[F.col(c) for c in content_cols])), 256
+    )
     with_d = df.withColumn("_digest", digest)
     w = Window.partitionBy("_digest").orderBy(id_col)
     return (

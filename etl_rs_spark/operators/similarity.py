@@ -69,17 +69,20 @@ def cosine_topk(
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "score", F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits)
-        )
+        .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
     )
+    # rank on the RAW score (deterministic given deterministic inputs);
+    # round only the reported value
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+        .select(
+            "query_id", "neighbor_id",
+            F.round("score", round_digits).alias("score"), "rank",
+        )
     )
 
 
@@ -138,15 +141,16 @@ def lsh_topk(
     scored = (
         q.join(c, "_bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "score", F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits)
-        )
+        .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
+        .select(
+            "query_id", "neighbor_id",
+            F.round("score", round_digits).alias("score"), "rank",
+        )
     )
 
 

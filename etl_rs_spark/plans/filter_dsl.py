@@ -152,9 +152,15 @@ def get_by_id(df: DataFrame, id_col: str, id_val) -> DataFrame:
 
 
 def first(df: DataFrame, flt=None, opts: ListOptions | None = None) -> DataFrame:
-    """First-row semantics: order by id, limit 1 (crud_fns.rs:99-127)."""
-    opts = opts or ListOptions(order_bys=[df.columns[0]])
-    opts.limit = 1
+    """First-row semantics: order by id, limit 1 (crud_fns.rs:99-127).
+    The caller's options object is not mutated."""
+    from dataclasses import replace
+
+    opts = (
+        replace(opts, limit=1)
+        if opts is not None
+        else ListOptions(limit=1, order_bys=[df.columns[0]])
+    )
     return list_query(df, flt, opts)
 
 

@@ -27,7 +27,11 @@ def ship_package(spark: SparkSession) -> None:
     import it regardless of the driver's cwd/sys.path."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    zip_base = os.path.join(tempfile.gettempdir(), "etl_rs_spark_pkg")
+    # per-process zip name: a shared fixed path races when two sessions
+    # start concurrently (one truncates while the other's executors fetch)
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"etl_rs_spark_pkg_{os.getpid()}"
+    )
     zip_path = shutil.make_archive(zip_base, "zip", root_dir=root, base_dir="etl_rs_spark")
     spark.sparkContext.addPyFile(zip_path)
 

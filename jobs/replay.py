@@ -84,6 +84,15 @@ def main() -> None:
                 os.path.join(binlog_tmp, "binlog")
             )
             events = spark.read.parquet(os.path.join(binlog_tmp, "binlog"))
+        if args.gen_inline:
+            n_events, max_lsn = args.events, args.events
+        else:
+            # measure the ACTUAL log, not the flag — a stored binlog may
+            # be any size; --events only parameterizes generation
+            stats = events.agg(
+                F.count(F.lit(1)).alias("n"), F.max("lsn").alias("m")
+            ).collect()[0]
+            n_events, max_lsn = int(stats["n"]), int(stats["m"])
         t0 = time.monotonic()
         per_partition: list[dict] = []
         lineage: dict = {}
@@ -113,9 +122,9 @@ def main() -> None:
             if args.segments <= 1:
                 process_batch(table, events, "replay:bulk", cfg=cfg)
             else:
-                step = (args.events + args.segments - 1) // args.segments
+                step = (max_lsn + args.segments - 1) // args.segments
                 for s in range(args.segments):
-                    lo, hi = s * step + 1, min((s + 1) * step, args.events)
+                    lo, hi = s * step + 1, min((s + 1) * step, max_lsn)
                     seg = events.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
                     process_batch(table, seg, f"replay:seg-{s}", cfg=cfg)
             elapsed = time.monotonic() - t0
@@ -129,7 +138,7 @@ def main() -> None:
             per_partition = [
                 {"partition": p, "committed_offset": o,
                  "lag": 0,  # availableNow drain: everything committed
-                 "events_per_sec": round(args.events / args.partitions / elapsed, 1)}
+                 "events_per_sec": round(n_events / args.partitions / elapsed, 1)}
                 for p, o in sorted(committed.items())
             ]
 
@@ -138,11 +147,11 @@ def main() -> None:
             "table_mode": args.table_mode,
             "compact_sec": locals().get("compact_sec"),
             "cpus": args.cpus,
-            "events": args.events,
+            "events": n_events,
             "docs": args.docs,
             "segments": args.segments,
             "elapsed_sec": round(elapsed, 3),
-            "events_per_sec": round(args.events / elapsed, 1),
+            "events_per_sec": round(n_events / elapsed, 1),
             "lineage": lineage,
             "per_partition": per_partition,
         }))

@@ -59,7 +59,9 @@ def memory_calibration(levels: list[int]) -> dict[int, float]:
     for p in levels:
         t0 = time.monotonic()
         with Pool(p) as pool:
-            pool.map(_stream, [32_000_000] * 8)
+            # 32 chunks so every level up to 32 procs actually uses all
+            # its workers (8 chunks would cap parallelism at 8)
+            pool.map(_stream, [8_000_000] * 32)
         out[p] = round(time.monotonic() - t0, 2)
     return out
 
@@ -222,6 +224,13 @@ def main() -> None:
         "the generator is lazy (`spark.range`-derived, never materialized)",
         "and per-batch state is bounded by doc cardinality, so wall time",
         "scales linearly in events at fixed doc count.",
+        "",
+        "## Further scale evidence",
+        "",
+        "Skew handling, copy-on-write vs merge-on-read write",
+        "amplification, and linearity measurements live in",
+        "[SCALE_EVIDENCE.md](SCALE_EVIDENCE.md) — maintained separately",
+        "so rerunning this generator never destroys them.",
     ]
     with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

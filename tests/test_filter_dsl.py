@@ -83,3 +83,10 @@ def test_point_lookup_first_count(tbl):
     assert [r["id"] for r in first(tbl, {"state": "ok"}).collect()] == [1]
     assert count_query(tbl, {"state": "ok"}) == 3
     assert count_query(tbl) == 5
+
+
+def test_first_does_not_mutate_options(tbl):
+    opts = ListOptions(limit=4, order_bys=["id"])
+    assert first(tbl, None, opts).count() == 1
+    assert opts.limit == 4  # caller's options untouched
+    assert list_query(tbl, None, opts).count() == 4

@@ -92,6 +92,20 @@ def test_exact_dedup(docs):
     assert sorted(r["doc_id"] for r in out2) == ids
 
 
+def test_exact_dedup_null_and_ambiguous_content(spark):
+    """NULL content must form its own group (not be silently dropped),
+    and the digest must distinguish values that would collide under
+    naive separator-joined hashing."""
+    df = spark.createDataFrame(
+        [("d1", None, "x"), ("d2", None, "x"), ("d3", "x\x1f", ""),
+         ("d4", "x", None), ("d5", "x", None)],
+        "doc_id string, a string, b string",
+    )
+    for fn in (ds.exact_dedup, ds.exact_dedup_digest):
+        got = sorted(r["doc_id"] for r in fn(df, ["a", "b"]).collect())
+        assert got == ["d1", "d3", "d4"], fn.__name__
+
+
 # -- minhash / simhash / ngram --------------------------------------------
 
 def _py_word_ids():
