@@ -458,6 +458,62 @@ def q28_normalize_tokens(spark, sf_dir):
     )
 
 
+def _email_input():
+    """Synthesized dirty emails: valid, short-label, long-TLD, @-dot,
+    space and hyphen-domain variants keyed off customer ids."""
+    n = F.col("c_custkey")
+    local = F.concat(F.lit("user"), n.cast("string"))
+    return (
+        F.when(n % 5 == 0, F.concat(local, F.lit(" @ex-ample.com")))   # spaces + domain hyphen
+        .when(n % 5 == 1, F.concat(local, F.lit("@.example.com")))     # @. fix-up
+        .when(n % 5 == 2, F.concat(local, F.lit("@x.com")))            # short label -> null
+        .when(n % 5 == 3, F.concat(local, F.lit("@example.commme")))   # TLD too long -> null
+        .otherwise(F.concat(local, F.lit("@example.org")))
+    )
+
+
+def q29_transform_email(spark, sf_dir):
+    """T4 email expression flavor (reference src/transforms/email.rs:
+    65-125): first-only strips, @.-fix, validation gates, domain
+    hyphens removed — cross-checked against a DuckDB replica of the
+    exact chain."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", _email_input().alias("raw"), T.email_expr(_email_input()).alias("email_norm"))
+
+
+def q30_jdd_normalize(spark, sf_dir):
+    """The full JDD normalization pipeline (11 expr + 2 UDF transforms,
+    examples/transform_jdd_normalisation.rs:40-52) over synthesized
+    columns at sf scale. Pandas-UDF stages (civilite/telephone/prenom)
+    make this non-SQL-expressible -> rows-only check; semantics are
+    pinned by the reference's golden files in tests/."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.col("c_custkey")
+    jdd = c.select(
+        n.alias("ID"),
+        F.concat(F.lit("Customer-"), n.cast("string"), F.lit("&co")).alias("NOM"),
+        F.when(n % 3 == 0, F.lit("anne-marie")).otherwise(F.lit("élie")).alias("PRENOM"),
+        F.when(n % 4 == 0, F.lit("Mme M.")).when(n % 4 == 1, F.lit("MR."))
+         .when(n % 4 == 2, F.lit("Docteur")).otherwise(F.lit("Mm")).alias("CIVILITE"),
+        F.concat(F.lit("06 "), F.lpad((n % 100000000).cast("string"), 8, "0")).alias("TELEPHONE"),
+        _email_input().alias("email"),
+        F.lit("443 169 524 00120").alias("SIRET"),
+        F.lit("732829320").alias("SIREN"),
+        F.lit("62.01z").alias("APE"),
+        F.lit("011;1Z").alias("CODE_NAF"),
+        F.lit("62.01z").alias("LIBELE_NAF"),
+        F.concat(F.lit("Straße "), n.cast("string")).alias("RAISON_SOCIALE"),
+    )
+    out = jdd.withColumns(T.jdd_normalize_exprs())
+    return out.groupBy("CIVILITE").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("email").isNotNull(), 1)).alias("n_email_valid"),
+        F.count(F.when(F.col("TELEPHONE").isNotNull(), 1)).alias("n_tel_valid"),
+        F.min("NOM").alias("min_nom"),
+        F.min("PRENOM").alias("min_prenom"),
+    )
+
+
 def q26_filter_dsl_list(spark, sf_dir):
     """Q3/Q4 query-layer semantics (SURVEY.md §2.12): modql-style JSON
     filter -> Catalyst predicates + ListOptions pagination with the '!'
@@ -514,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_filter_dsl_list": q26_filter_dsl_list,
         "q27_embedding_near_dups": q27_embedding_near_dups,
         "q28_normalize_tokens": q28_normalize_tokens,
+        "q29_transform_email": q29_transform_email,
+        "q30_jdd_normalize": q30_jdd_normalize,
     }
 
 
@@ -894,6 +952,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(list_sum(ct), 0) AS BIGINT) AS sum_tok,
                CASE WHEN len(ct) > 0 THEN ct[1] END AS first_tok
         FROM cleaned
+    """
+
+    # email chain: upper -> FIRST-only ['’&\s]+ strip -> FIRST-only '@.'
+    # fix -> validate -> drop domain hyphens (accent fold is an ASCII
+    # no-op here). DuckDB regexp_replace without 'g' is first-only.
+    sql["q29_transform_email"] = """
+        WITH raw AS (
+          SELECT c_custkey,
+                 CASE
+                   WHEN c_custkey % 5 = 0 THEN 'user' || c_custkey || ' @ex-ample.com'
+                   WHEN c_custkey % 5 = 1 THEN 'user' || c_custkey || '@.example.com'
+                   WHEN c_custkey % 5 = 2 THEN 'user' || c_custkey || '@x.com'
+                   WHEN c_custkey % 5 = 3 THEN 'user' || c_custkey || '@example.commme'
+                   ELSE 'user' || c_custkey || '@example.org'
+                 END AS raw
+          FROM customer
+        ),
+        cleaned AS (
+          SELECT c_custkey, raw,
+                 regexp_replace(
+                   regexp_replace(upper(raw), '[''’&\\s]+', ''),
+                   '@\\.', '@') AS c
+          FROM raw
+        ),
+        parts AS (
+          SELECT *, split_part(c, '@', 1) AS local,
+                 split_part(c, '@', 2) AS domain,
+                 string_split(split_part(c, '@', 2), '.') AS labels
+          FROM cleaned
+        )
+        SELECT c_custkey, raw,
+               CASE WHEN regexp_matches(c, '^[A-Z0-9._%+-]+@[A-Z0-9.-]+\\.[A-Z]{2,}$')
+                     AND length(labels[len(labels) - 1]) >= 2
+                     AND length(labels[len(labels)]) BETWEEN 2 AND 4
+                    THEN local || '@' || replace(domain, '-', '')
+               END AS email_norm
+        FROM parts
     """
 
     # q24/q25 are intentionally omitted: multimodal stub featurization

@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "q23_embedding_lsh_buckets", "q24_multimodal_features",
     "q25_cdc_replay_state", "q26_filter_dsl_list",
     "q27_embedding_near_dups", "q28_normalize_tokens",
+    "q29_transform_email", "q30_jdd_normalize",
 ]
 
 REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "2000000"))
