@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 from etl_rs_spark.functions import transforms as T
 from etl_rs_spark.operators import dedup_scale as DS
 from etl_rs_spark.operators import multimodal as MM
+from etl_rs_spark.operators import sessions as SESS
 from etl_rs_spark.operators import similarity as SIM
 from etl_rs_spark.operators import text as TX
 from etl_rs_spark.operators.lww import lww_agg
@@ -514,6 +515,33 @@ def q30_jdd_normalize(spark, sf_dir):
     )
 
 
+def q31_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): 30-minute
+    inactivity gap per user over the events stream; per-session rollup.
+    Pure window algebra, one shuffle by user."""
+    e = _t(spark, sf_dir, "events")
+    out = SESS.session_stats(
+        e, user_col="user_id", ts_col="ts", gap_minutes=30.0, order_cols=("event_id",)
+    )
+    return out.select(
+        "user_id", "session_idx", "n_events", "span_us",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+    )
+
+
+def q32_lang_id(spark, sf_dir):
+    """Profile-scoring language ID (operators/text.py lang_id):
+    explode words -> broadcast profile join -> sum weights per
+    (doc, lang) -> deterministic argmax. Cross-engine oracle over the
+    same profile table."""
+    d = _t(spark, sf_dir, "documents")
+    out = TX.lang_id(d)
+    return out.select(
+        "doc_id", "lang_pred",
+        F.round(F.coalesce(F.col("lang_score"), F.lit(0.0)), 6).alias("lang_score"),
+    )
+
+
 def q26_filter_dsl_list(spark, sf_dir):
     """Q3/Q4 query-layer semantics (SURVEY.md §2.12): modql-style JSON
     filter -> Catalyst predicates + ListOptions pagination with the '!'
@@ -572,6 +600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_normalize_tokens": q28_normalize_tokens,
         "q29_transform_email": q29_transform_email,
         "q30_jdd_normalize": q30_jdd_normalize,
+        "q31_sessionize": q31_sessionize,
+        "q32_lang_id": q32_lang_id,
     }
 
 
@@ -989,6 +1019,58 @@ def oracle_sql() -> dict[str, str]:
                     THEN local || '@' || replace(domain, '-', '')
                END AS email_norm
         FROM parts
+    """
+
+    sql["q31_sessionize"] = """
+        WITH ordered AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        ),
+        flagged AS (
+          SELECT *, CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+          FROM ordered
+        ),
+        sess AS (
+          SELECT *, CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                 AS INTEGER) AS session_idx
+          FROM flagged
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us,
+               epoch_us(min(ts)) AS start_us
+        FROM sess GROUP BY user_id, session_idx
+    """
+
+    prof_rows = ", ".join(
+        f"('{lang}', '{w}', CAST({wt} AS DOUBLE))"
+        for lang, p in TX.DEFAULT_LANG_PROFILES.items()
+        for w, wt in p.items()
+    )
+    sql["q32_lang_id"] = f"""
+        WITH prof(lang_cand, word, weight) AS (VALUES {prof_rows}),
+        w AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, lang_cand, sum(weight) AS score
+          FROM w JOIN prof USING (word) GROUP BY doc_id, lang_cand
+        ),
+        best AS (
+          SELECT doc_id, lang_cand AS lang_pred, score,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, lang_cand) AS rn
+          FROM scored
+        )
+        SELECT d.doc_id, b.lang_pred,
+               round(coalesce(CAST(b.score AS DOUBLE), 0), 6) AS lang_score
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
     """
 
     # q24/q25 are intentionally omitted: multimodal stub featurization

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q25_cdc_replay_state", "q26_filter_dsl_list",
     "q27_embedding_near_dups", "q28_normalize_tokens",
     "q29_transform_email", "q30_jdd_normalize",
+    "q31_sessionize", "q32_lang_id",
 ]
 
 REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "2000000"))

@@ -233,3 +233,39 @@ def test_frame_sample_plan(spark):
     plan = mm.frame_sample_plan(media, every_n=4)
     rows = plan.collect()
     assert all(r["frame_idx"] % 4 == 0 for r in rows)
+
+
+# -- sessionization --------------------------------------------------------
+
+def test_sessionize_gap_semantics(spark):
+    from etl_rs_spark.operators import sessions as ss
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),
+        (1, "2024-01-01 10:10:00", 2),   # same session (10 min)
+        (1, "2024-01-01 11:00:00", 3),   # new session (50 min gap)
+        (1, "2024-01-01 11:29:59", 4),   # same (29:59 < 30min)
+        (2, "2024-01-01 10:00:00", 5),   # separate user
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, event_id int").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {(r["user_id"], r["event_id"]): r["session_idx"]
+           for r in ss.sessionize(df, order_cols=("event_id",)).collect()}
+    assert out == {(1, 1): 0, (1, 2): 0, (1, 3): 1, (1, 4): 1, (2, 5): 0}
+
+    stats = {(r["user_id"], r["session_idx"]): (r["n_events"], r["span_us"])
+             for r in ss.session_stats(df, order_cols=("event_id",)).collect()}
+    assert stats[(1, 0)] == (2, 600_000_000)
+    assert stats[(1, 1)] == (2, 1_799_000_000)
+    assert stats[(2, 0)] == (1, 0)
+
+
+def test_sessionize_exact_30min_boundary(spark):
+    from etl_rs_spark.operators import sessions as ss
+    rows = [(1, "2024-01-01 10:00:00", 1), (1, "2024-01-01 10:30:00", 2)]
+    df = spark.createDataFrame(rows, "user_id int, ts string, event_id int").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = ss.sessionize(df, order_cols=("event_id",)).collect()
+    # exactly 30:00 is NOT a new session (gap must EXCEED the threshold)
+    assert {r["session_idx"] for r in out} == {0}
