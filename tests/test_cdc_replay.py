@@ -207,3 +207,34 @@ def test_mor_merge_is_order_insensitive(spark, tmp_path, binlog, oracle_state):
         winners = lww_agg(norm, key="doc_id")
         table.merge(winners, f"rev-{i}")
     assert table_state(table.read()) == oracle_state
+
+
+def test_mor_schema_evolution_in_delta(spark, tmp_path):
+    """A new payload column arriving in a LATER MOR delta must widen the
+    table additively: older base/delta files read back null-filled, and
+    read-time LWW resolves across the mixed schemas."""
+    spec = BinlogSpec(
+        n_events=800, n_docs=60, n_partitions=4, vocab=VOCAB,
+        tokens_max=10, evolve_from_lsn=401, seed=13,
+    )
+    df = gen_events(spark, spec)
+    path = str(tmp_path / "binlog")
+    segs = write_segments(df, path, n_segments=2, max_lsn=spec.n_events,
+                          drop_tag_before_evolve=spec.evolve_from_lsn)
+    assert "tag" not in spark.read.parquet(segs[0]).columns
+
+    mapping = ColumnMapping.base().evolved(MappedColumn("tag", "tag", "string"))
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor")
+    replay_segments(spark, table, segs, mapping=mapping, cfg=CFG)
+
+    events = [r.asDict() for r in df.collect()]
+    for e in events:
+        if e["lsn"] < spec.evolve_from_lsn:
+            e["tag"] = None
+    want = oracle_replay(events, VOCAB, MAX_LEN)
+    assert table_state(table.read(), with_tag=True) == want
+    assert ["tag", "string"] in table.manifest()["payload_schema"]
+
+    # compaction folds mixed-schema deltas without losing the new column
+    table.compact()
+    assert table_state(table.read(), with_tag=True) == want
