@@ -45,6 +45,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
+def _cosine_precomputed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with per-VECTOR norms hoisted out of the pair join —
+    computing norms per pair triples the array work in an O(pairs)
+    stage (ArrayAggregate runs interpreted, not codegen'd)."""
+    return dot(a, b) / F.nullif(na * nb, F.lit(0.0))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -60,16 +67,21 @@ def cosine_topk(
     self-matches. Returns (query_id, neighbor_id, score, rank).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "score",
+            _cosine_precomputed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
     )
     # rank on the RAW score (deterministic given deterministic inputs);
     # round only the reported value
@@ -131,17 +143,22 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
     )
     scored = (
         q.join(c, "_bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "score",
+            _cosine_precomputed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -169,6 +186,7 @@ def embedding_near_dup_pairs(
     b = df.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
     )
     l, r = b.alias("l"), b.alias("r")
@@ -181,7 +199,12 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_l"),
             F.col(f"r.{id_col}").alias("id_r"),
-            F.round(cosine(F.col("l._v"), F.col("r._v")), round_digits).alias("score"),
+            F.round(
+                _cosine_precomputed(
+                    F.col("l._v"), F.col("r._v"), F.col("l._n"), F.col("r._n")
+                ),
+                round_digits,
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
