@@ -542,6 +542,18 @@ def q32_lang_id(spark, sf_dir):
     )
 
 
+def q33_ivf_topk(spark, sf_dir):
+    """IVF ANN (similarity.ivf_topk): k-means coarse quantizer, probe
+    the 2 nearest of 8 cells, exact rank within. MLlib k-means isn't
+    SQL-reproducible -> rows-only check; exactness vs brute force when
+    probing all cells is pinned in tests."""
+    qz = _quantized(spark, sf_dir)
+    return SIM.ivf_topk(
+        qz.filter(F.col("vec_id") < 10), qz, k=5, n_cells=8, n_probe=2,
+        id_col="vec_id", vec_col="qv",
+    )
+
+
 def q26_filter_dsl_list(spark, sf_dir):
     """Q3/Q4 query-layer semantics (SURVEY.md §2.12): modql-style JSON
     filter -> Catalyst predicates + ListOptions pagination with the '!'
@@ -602,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_jdd_normalize": q30_jdd_normalize,
         "q31_sessionize": q31_sessionize,
         "q32_lang_id": q32_lang_id,
+        "q33_ivf_topk": q33_ivf_topk,
     }
 
 

@@ -171,6 +171,83 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> corpus
+    bucketed by nearest centroid (at 100 TB: a write-time partition
+    column) -> each query probes its ``n_probe`` nearest cells and
+    ranks exactly within them.
+
+    Trains MLlib KMeans on the corpus (seeded, deterministic given
+    fixed input/partitioning). Recall grows with n_probe; n_probe =
+    n_cells degenerates to exact brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+    def nearest_cells(side: DataFrame, sid: str, n: int) -> DataFrame:
+        """Assign each vector its n nearest centroids via broadcast
+        join + window (no per-row Python)."""
+        d = side.crossJoin(F.broadcast(cent_df)).withColumn(
+            "_dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), "centroid",
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+        )
+        w = Window.partitionBy(sid).orderBy(F.asc("_dist"), F.asc("cell"))
+        return (
+            d.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= n)
+            .drop("_dist", "_cr", "centroid")
+        )
+
+    c_cells = nearest_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "neighbor_id", 1
+    ).withColumnsRenamed({vec_col: "_cv"}).withColumn("_cn", norm(F.col("_cv")))
+    q_cells = nearest_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)), "query_id", n_probe
+    ).withColumnsRenamed({vec_col: "_qv"}).withColumn("_qn", norm(F.col("_qv")))
+
+    scored = (
+        q_cells.join(c_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            _cosine_precomputed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("score", round_digits).alias("score"), "rank",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

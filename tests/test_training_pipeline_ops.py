@@ -269,3 +269,16 @@ def test_sessionize_exact_30min_boundary(spark):
     out = ss.sessionize(df, order_cols=("event_id",)).collect()
     # exactly 30:00 is NOT a new session (gap must EXCEED the threshold)
     assert {r["session_idx"] for r in out} == {0}
+
+
+def test_ivf_topk(spark, vecs):
+    """IVF ANN: probing all cells equals brute force; fewer probes give
+    a subset with correct within-cell ranking."""
+    full = sim.ivf_topk(vecs, vecs, k=2, n_cells=2, n_probe=2)
+    brute = sim.cosine_topk(vecs, vecs, k=2)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+    ann = sim.ivf_topk(vecs, vecs, k=2, n_cells=2, n_probe=1)
+    ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    assert ann_pairs  # each query finds same-cell neighbors
+    assert (1, 5) in ann_pairs or (5, 1) in ann_pairs  # near-identical pair co-cells
