@@ -10,9 +10,10 @@ Cross-engine exactness strategy (the whole point of this file):
 - money/value aggregates go through ``floor(x*100)`` to integer cents —
   IEEE multiply + floor is deterministic, integer sums are associative,
   so double-summation-order differences between engines cannot show up;
-- every hash is ``(a*x + b) mod 2^31-1`` over a corpus-derived dense
-  word-id vocabulary (rank over distinct words) — both engines compute
-  identical signatures, fingerprints and LSH buckets;
+- every hash is ``(a*x + b) mod 2^31-1`` over word ids produced by an
+  engine-portable md5-prefix hash (dedup_scale.word_hash — no vocab
+  build, no global sort) — both engines compute identical signatures,
+  fingerprints and LSH buckets;
 - embeddings are quantized to ``floor(x*1000)`` ints before dot
   products, making cosine scores bit-identical across engines;
 - float ratios of exact integers are emitted with round(.., 6) on both
@@ -39,11 +40,16 @@ from etl_rs_spark.operators import text as TX
 from etl_rs_spark.operators.lww import lww_agg
 from etl_rs_spark.plans.filter_dsl import ListOptions, list_query
 from etl_rs_spark.operators.normalize_cdc import normalize_events
-from etl_rs_spark.sources.binlog import BinlogSpec, gen_events
+from etl_rs_spark.sources.binlog import (
+    PORTABLE_B, BinlogSpec, gen_events, portable_salt,
+)
 
 P = TX.HASH_P          # 2^31 - 1
 NGRAM_B = 1_000_003    # shingle polynomial base
 KEY_B = 31             # LSH band-key folding base
+CLIP_MAX = P // 2      # q28 vocab-clip bound over hashed word ids
+# word -> id, replicated from dedup_scale.word_hash: md5-prefix mod p
+WORD_HASH_SQL = f"('0x' || substr(md5(w), 1, 15))::BIGINT % {P}"
 STOPWORDS = TX.DEFAULT_STOPWORDS
 
 # (a, b) constants for the universal hash family, shared with the SQL
@@ -289,20 +295,20 @@ def q16_doc_fingerprint(spark, sf_dir):
 # corpus dedup (training-data pipeline)
 
 def q17_dedup_exact(spark, sf_dir):
-    """Exact dedup survivors (operators/dedup_scale.exact_dedup):
-    min-doc_id row per distinct content, plus multiplicity."""
+    """Exact dedup survivors + multiplicity in ONE digest-keyed
+    aggregation (operators/dedup_scale.dedup_digest_stats): min(doc_id)
+    and count(*) grouped by sha2(text) — document content never enters
+    a shuffle, only 64-hex digests move."""
     d = _t(spark, sf_dir, "documents")
-    survivors = DS.exact_dedup(d, ["text"]).select("doc_id", "text")
-    counts = d.groupBy("text").agg(F.count(F.lit(1)).alias("n_copies"))
-    return survivors.join(counts, "text").select("doc_id", "n_copies")
+    return DS.dedup_digest_stats(d, ["text"]).select("doc_id", "n_copies")
 
 
 def _doc_word_ids(spark, sf_dir):
+    """Docs -> ordered hashed word-id arrays: the no-vocab scale path
+    (dedup_scale.doc_word_ids_hashed). Zero shuffles, zero joins; the
+    md5-prefix hash is replicated exactly in the DuckDB oracles."""
     d = _t(spark, sf_dir, "documents")
-    vocab = DS.word_id_map(d)
-    return DS.doc_word_ids(d, vocab).join(
-        d.select("doc_id", "lang"), "doc_id"
-    )
+    return DS.doc_word_ids_hashed(d, extra_cols=("lang",))
 
 
 def q18_minhash_signatures(spark, sf_dir):
@@ -315,50 +321,13 @@ def q18_minhash_signatures(spark, sf_dir):
 
 
 def q19_minhash_lsh_pairs(spark, sf_dir):
-    """Banded MinHash LSH candidates + exact-Jaccard verify
-    (16 hashes, 4 bands of 4; band key folded mod p)."""
+    """Banded MinHash LSH candidates + exact-Jaccard verify via the
+    library operator (dedup_scale.minhash_lsh_pairs: 16 hashes, 4 bands
+    of 4, band key folded mod p — word sets join back AFTER the distinct
+    candidate set, so arrays never ride through the band explode)."""
     wi = _doc_word_ids(spark, sf_dir)
-    sig = DS.minhash_signature(F.col("word_ids"), 16)
-    with_sig = wi.select(
-        "doc_id", F.array_distinct("word_ids").alias("wset"), sig.alias("sig")
-    )
-
-    def band_key(bi):
-        k = F.lit(0).cast("bigint")
-        for j in range(4):
-            k = (k * KEY_B + F.col("sig")[bi * 4 + j]) % F.lit(P)
-        return F.struct(F.lit(bi).alias("band"), k.alias("key"))
-
-    banded = with_sig.select(
-        "doc_id", "wset", F.explode(F.array(*[band_key(b) for b in range(4)])).alias("bk")
-    ).select("doc_id", "wset", "bk.band", "bk.key")
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("id_l"),
-            F.col("r.doc_id").alias("id_r"),
-            F.col("l.wset").alias("sl"),
-            F.col("r.wset").alias("sr"),
-        )
-        .dropDuplicates(["id_l", "id_r"])
-    )
-    return (
-        cand.withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sl", "sr")).cast("double")
-                / F.size(F.array_union("sl", "sr")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.6)
-        .select("id_l", "id_r", "jaccard")
+    return DS.minhash_lsh_pairs(
+        wi, n_hashes=16, bands=4, jaccard_threshold=0.6
     )
 
 
@@ -420,9 +389,12 @@ def q24_multimodal_features(spark, sf_dir):
 def q25_cdc_replay_state(spark, sf_dir):
     """End-to-end CDC core on the synthetic binlog: generate ordered
     change events (dup deliveries + wrong n_tok + out-of-vocab tokens),
-    normalize, LWW-resolve, drop tombstones — the final-state semantics
-    pytest verifies against the pandas oracle (tests/test_cdc_replay.py)."""
-    spec = BinlogSpec(n_events=2000, n_docs=200, n_partitions=4)
+    normalize, LWW-resolve, drop tombstones. hash_mode='portable' makes
+    the whole generator ANSI-SQL-replicable, so the DuckDB oracle
+    regenerates the identical binlog and replays it independently
+    (pytest additionally verifies the pandas oracle on the xxhash64
+    stream, tests/test_cdc_replay.py)."""
+    spec = BinlogSpec(n_events=2000, n_docs=200, n_partitions=4, hash_mode="portable")
     ev = gen_events(spark, spec)
     norm = normalize_events(ev).filter("_valid").drop("_valid", "partition", "ts")
     winners = lww_agg(norm, key="doc_id", order=("lsn", "offset"))
@@ -447,10 +419,10 @@ def q27_embedding_near_dups(spark, sf_dir):
 def q28_normalize_tokens(spark, sf_dir):
     """The input_hint's normalize op cross-checked on an independent
     engine: clip token ids to [0, vocab), truncate to max_len, recompute
-    n_tok (operators/normalize_cdc.py semantics; vocab=20 exercises
-    clipping against the word-id range)."""
+    n_tok (operators/normalize_cdc.py semantics; vocab = p/2 drops
+    ~half the hashed word-id range, exercising the clip arm)."""
     wi = _doc_word_ids(spark, sf_dir)
-    cleaned = F.slice(F.filter("word_ids", lambda t: t < 20), 1, 50)
+    cleaned = F.slice(F.filter("word_ids", lambda t: t < CLIP_MAX), 1, 50)
     return wi.select(
         "doc_id",
         F.size(cleaned).alias("n_tok"),
@@ -621,24 +593,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles — shared SQL fragments
 
-_WORDS_CTE = """
+# Replicates dedup_scale.word_hash / doc_word_ids_hashed: ordered
+# hashed word-id arrays straight off the tokenization — no vocab build.
+_WORDS_CTE = f"""
 words AS (
   SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS ws
   FROM documents
 ),
-tok AS (
-  SELECT doc_id, lang, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+ids AS (
+  SELECT doc_id, lang,
+         list_transform(ws, w -> {WORD_HASH_SQL}) AS wid
   FROM words
 ),
-vocab AS (
-  SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS word_id
-  FROM (SELECT DISTINCT word FROM tok)
-),
-ids AS (
-  SELECT t.doc_id, any_value(t.lang) AS lang,
-         array_agg(v.word_id ORDER BY t.pos) AS wid
-  FROM tok t JOIN vocab v USING (word)
-  GROUP BY t.doc_id
+dtok AS (
+  SELECT DISTINCT doc_id, unnest(wid) AS word_id FROM ids
 )
 """
 
@@ -679,14 +647,94 @@ def _hyperplane_bit_sql(j: int, qv: str = "qv") -> str:
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
 
+def _q25_oracle_sql() -> str:
+    """DuckDB replica of the ENTIRE q25 pipeline: regenerate the
+    portable-hash binlog (sources/binlog.gen_events, hash_mode=
+    'portable'), normalize (operators/normalize_cdc), LWW-resolve,
+    drop tombstones, aggregate per source. Duplicate deliveries are
+    payload-identical re-sends of existing (partition, offset) rows, so
+    they cannot change the LWW final state and the replica skips
+    generating them. All constants mirror BinlogSpec(n_events=2000,
+    n_docs=200, n_partitions=4) defaults."""
+    seed, B = 42, PORTABLE_B
+    n_events, n_docs, vocab, tokens_max, max_len = 2000, 200, 50257, 64, 2048
+    n_hot = max(1, int(n_docs * 0.001))
+    hot_thr = int(0.30 * 1000)
+    tok_hi = int(vocab * 1.02)
+
+    def pref(salt: str) -> int:
+        # fold prefix for a salted id-hash: (seed*B + salt) mod p
+        return (seed * B + portable_salt(salt)) % P
+
+    def h_id(salt: str) -> str:
+        return f"((CAST({pref(salt)} AS BIGINT) * {B} + id) % {P})"
+
+    seed_b = (seed * B) % P  # fold prefix for unsalted doc-keyed hashes
+    h1 = f"((CAST({seed_b} AS BIGINT) + didx) % {P})"   # fold(seed, didx)
+    h2 = f"(({h1} * {B} + lsn) % {P})"                  # fold(.., lsn)
+    tok = f"CAST(({h2} * {B} + i) % {P} % {tok_hi} - 25 AS INTEGER)"
+    src = f"((CAST({pref('src')} AS BIGINT) * {B} + didx) % {P} % 4)"
+
+    return f"""
+        WITH base AS (
+          SELECT CAST(r.range AS BIGINT) AS id, CAST(r.range + 1 AS BIGINT) AS lsn
+          FROM range({n_events}) r
+        ),
+        keyed AS (
+          SELECT id, lsn,
+            CASE WHEN {h_id('hot')} % 1000 < {hot_thr}
+                 THEN {h_id('hd')} % {n_hot}
+                 ELSE {h_id('cd')} % {n_docs}
+            END AS didx,
+            {h_id('op')} % 100 AS op_r,
+            {h_id('len')} % {tokens_max} + 1 AS tok_len
+          FROM base
+        ),
+        evs AS (
+          SELECT lsn, didx, {src} AS src_idx,
+            CASE WHEN op_r < 60 THEN 'insert'
+                 WHEN op_r < 90 THEN 'update'
+                 ELSE 'delete' END AS op,
+            CASE WHEN op_r >= 90 THEN NULL
+                 ELSE list_transform(range(1, tok_len + 1), i -> {tok})
+            END AS tokens
+          FROM keyed
+        ),
+        norm AS (
+          SELECT lsn, didx, src_idx, op,
+                 CASE WHEN op <> 'delete'
+                      THEN (list_filter(tokens, t -> t >= 0 AND t < {vocab}))[1:{max_len}]
+                 END AS ct
+          FROM evs
+        ),
+        valid AS (
+          SELECT * FROM norm WHERE op = 'delete' OR len(ct) > 0
+        ),
+        winners AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY didx ORDER BY lsn DESC) AS rn
+            FROM valid
+          ) WHERE rn = 1
+        )
+        SELECT CASE src_idx WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+                            WHEN 2 THEN 'code' ELSE 'wiki' END AS source,
+               count(*) AS n_docs,
+               CAST(sum(len(ct)) AS BIGINT) AS sum_tok,
+               CAST(sum(ct[1]) AS BIGINT) AS sum_first_tok
+        FROM winners
+        WHERE op <> 'delete'
+        GROUP BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["q01_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
+               CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate < TIMESTAMP '1998-09-03'
@@ -704,7 +752,7 @@ def oracle_sql() -> dict[str, str]:
     sql["q03_nation_rollup"] = """
         SELECT n_name,
                count(*) AS n_orders,
-               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS revenue_c,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
                count(DISTINCT c_custkey) AS n_customers
         FROM orders
         JOIN customer ON o_custkey = c_custkey
@@ -754,7 +802,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q09_label_union"] = """
         SELECT label, count(*) AS n,
-               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sum_c
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
         FROM (
           SELECT 'high' AS label, o_totalprice FROM orders WHERE o_totalprice > 250000
           UNION ALL
@@ -775,7 +823,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q11_events_agg"] = """
         SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
-               sum(CAST(floor(value * 100) AS BIGINT)) AS sum_value_c
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
         FROM events GROUP BY event_type
     """
 
@@ -859,9 +907,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["q18_minhash_signatures"] = f"""
-        WITH {_WORDS_CTE},
-        dtok AS (SELECT DISTINCT t.doc_id, v.word_id
-                 FROM tok t JOIN vocab v USING (word))
+        WITH {_WORDS_CTE}
         SELECT doc_id, {", ".join(_minhash_sql_terms(4))}
         FROM dtok GROUP BY doc_id
     """
@@ -874,8 +920,6 @@ def oracle_sql() -> dict[str, str]:
         band_structs.append(f"{{'band': {bi}, 'key': {k}}}")
     sql["q19_minhash_lsh_pairs"] = f"""
         WITH {_WORDS_CTE},
-        dtok AS (SELECT DISTINCT t.doc_id, v.word_id
-                 FROM tok t JOIN vocab v USING (word)),
         sigs AS (
           SELECT doc_id, {", ".join(_minhash_sql_terms(16))}
           FROM dtok GROUP BY doc_id
@@ -903,9 +947,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["q20_simhash"] = f"""
-        WITH {_WORDS_CTE},
-        dtok AS (SELECT DISTINCT t.doc_id, v.word_id
-                 FROM tok t JOIN vocab v USING (word))
+        WITH {_WORDS_CTE}
         SELECT doc_id, CAST({_simhash_sql(16)} AS BIGINT) AS simhash16
         FROM dtok GROUP BY doc_id
     """
@@ -988,7 +1030,7 @@ def oracle_sql() -> dict[str, str]:
     sql["q28_normalize_tokens"] = f"""
         WITH {_WORDS_CTE},
         cleaned AS (
-          SELECT doc_id, (list_filter(wid, x -> x < 20))[1:50] AS ct FROM ids
+          SELECT doc_id, (list_filter(wid, x -> x < {CLIP_MAX}))[1:50] AS ct FROM ids
         )
         SELECT doc_id,
                len(ct) AS n_tok,
@@ -1086,7 +1128,92 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
     """
 
-    # q24/q25 are intentionally omitted: multimodal stub featurization
-    # and the xxhash64-generated binlog are not SQL-expressible; the
-    # driver records rows-only checks and pytest covers their semantics.
+    sql["q25_cdc_replay_state"] = _q25_oracle_sql()
+
+    # q30: the synthesized JDD inputs form a CLOSED ENUM for every
+    # pandas-UDF stage, so the oracle replicates them as hand-derived
+    # CASE literals straight from the reference semantics (all pinned
+    # by tests/test_transforms_golden.py against reference goldens):
+    # - civilite.rs: 'Mme M.' -> MME+M -> 'MONSIEUR MADAME';
+    #   'MR.' -> 'MONSIEUR'; 'Docteur' -> special civility -> NULL;
+    #   'Mm' -> MM -> 'MONSIEUR'
+    # - prenom.rs expr flavor: 'anne-marie' -> 'Anne-Marie';
+    #   'élie' -> 'Elie' (É accent-stripped after title-casing)
+    # - telephone.rs: '06 ' + 8 digits is always the valid 10-digit
+    #   0-prefix non-paid arm -> n_tel_valid = count(*)
+    # NOM (expr flavor) and email (expr flavor) are full regexp chains,
+    # replicated like the q13/q29 oracles.
+    sql["q30_jdd_normalize"] = """
+        WITH raw AS (
+          SELECT c_custkey AS n,
+                 'Customer-' || c_custkey || '&co' AS nom_raw,
+                 CASE WHEN c_custkey % 3 = 0 THEN 'anne-marie' ELSE 'élie' END AS prenom_raw,
+                 CASE WHEN c_custkey % 4 = 0 THEN 'Mme M.'
+                      WHEN c_custkey % 4 = 1 THEN 'MR.'
+                      WHEN c_custkey % 4 = 2 THEN 'Docteur'
+                      ELSE 'Mm' END AS civ_raw,
+                 CASE
+                   WHEN c_custkey % 5 = 0 THEN 'user' || c_custkey || ' @ex-ample.com'
+                   WHEN c_custkey % 5 = 1 THEN 'user' || c_custkey || '@.example.com'
+                   WHEN c_custkey % 5 = 2 THEN 'user' || c_custkey || '@x.com'
+                   WHEN c_custkey % 5 = 3 THEN 'user' || c_custkey || '@example.commme'
+                   ELSE 'user' || c_custkey || '@example.org'
+                 END AS email_raw
+          FROM customer
+        ),
+        email_cleaned AS (
+          SELECT n,
+                 regexp_replace(
+                   regexp_replace(upper(email_raw), '[''’&\\s]+', ''),
+                   '@\\.', '@') AS ec
+          FROM raw
+        ),
+        email_parts AS (
+          SELECT n, ec, split_part(ec, '@', 1) AS local,
+                 split_part(ec, '@', 2) AS domain,
+                 string_split(split_part(ec, '@', 2), '.') AS labels
+          FROM email_cleaned
+        ),
+        email_norm AS (
+          SELECT n,
+                 CASE WHEN regexp_matches(ec, '^[A-Z0-9._%+-]+@[A-Z0-9.-]+\\.[A-Z]{2,}$')
+                       AND length(labels[len(labels) - 1]) >= 2
+                       AND length(labels[len(labels)]) BETWEEN 2 AND 4
+                      THEN local || '@' || replace(domain, '-', '')
+                 END AS email_n
+          FROM email_parts
+        ),
+        norm AS (
+          SELECT r.n,
+                 CASE r.civ_raw WHEN 'Mme M.' THEN 'MONSIEUR MADAME'
+                                WHEN 'MR.' THEN 'MONSIEUR'
+                                WHEN 'Docteur' THEN NULL
+                                ELSE 'MONSIEUR' END AS civilite,
+                 CASE r.prenom_raw WHEN 'anne-marie' THEN 'Anne-Marie'
+                                   ELSE 'Elie' END AS prenom,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       upper(regexp_replace(r.nom_raw, '^\\s+|\\s+$', '', 'g')),
+                       '^[^a-zA-ZÀ-ÿ\\s]+|[^a-zA-ZÀ-ÿ\\s]+$', '', 'g'),
+                     '//|_|/|&', ' ET '),
+                   '[^a-zA-Z0-9À-ÿ\\s\\-''’]', '', 'g'),
+                   '\\-+', ' ', 'g'),
+                   '\\s+', ' ', 'g') AS nom,
+                 e.email_n
+          FROM raw r JOIN email_norm e USING (n)
+        )
+        SELECT civilite AS CIVILITE,
+               count(*) AS n,
+               count(email_n) AS n_email_valid,
+               count(*) AS n_tel_valid,
+               min(nom) AS min_nom,
+               min(prenom) AS min_prenom
+        FROM norm GROUP BY civilite
+    """
+
+    # q24 (multimodal stub featurization) and q33 (MLlib k-means cells)
+    # are intentionally omitted: not SQL-expressible; the driver records
+    # rows-only checks and pytest pins their semantics (q33 probe-all ≡
+    # brute force; q24 deterministic fake featurizer).
     return {k: v.strip() for k, v in sql.items()}

@@ -69,16 +69,75 @@ def exact_dedup_digest(
     )
 
 
+def dedup_digest_stats(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """(survivor id, n_copies) per distinct content in ONE digest-keyed
+    aggregation: min(id) + count(*) grouped by sha2(content). Content
+    never enters the shuffle — only the 64-hex digest moves — and the
+    partial min/count combine map-side. This is the plan exact-dedup
+    reporting should have at 100 TB (vs content-keyed groupBy + join)."""
+    digest = F.sha2(
+        F.to_json(F.struct(*[F.col(c) for c in content_cols])), 256
+    )
+    return (
+        df.groupBy(digest.alias("_digest"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("_digest")
+    )
+
+
 # ---------------------------------------------------------------------------
-# shared vocabulary mapping (word -> dense id) for arithmetic hashing
+# word -> id mapping for arithmetic hashing. Two paths:
+#
+# - word_hash / doc_word_ids_hashed: the SCALE path and the default for
+#   every contract query. id = md5-prefix of the word, mod p — no vocab
+#   build, no join, no shuffle, and exactly reproducible in ANSI SQL
+#   (DuckDB: ('0x' || substr(md5(w),1,15))::BIGINT % p), so the oracles
+#   stay bit-exact. Collision odds over a vocab V are ~|V|^2/2p
+#   (~2e-2 at 10^4 words, and identical in both engines when they do
+#   occur, so parity is unaffected).
+# - word_id_map / doc_word_ids: dense lexicographic-rank vocabulary.
+#   Kept for tests that want ids in [1, |V|]; its rank window is a
+#   single-partition global sort, so it must never appear in a scale
+#   pipeline (test_plans.py gates contract queries against it).
+
+def word_hash(col: Column) -> Column:
+    """Word -> bigint id in [0, p): first 60 bits of md5(utf8(word)),
+    mod p. Engine-portable: DuckDB computes the identical value with
+    ``('0x' || substr(md5(w), 1, 15))::BIGINT % p``. Pure codegen
+    expression — no vocab, no join, no shuffle."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10)
+        .cast("bigint") % F.lit(HASH_P)
+    )
+
+
+def doc_word_ids_hashed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "word_ids",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Map each doc to its ordered array of hashed word ids — the
+    no-vocab scale path. A single narrow projection: zero shuffles,
+    zero joins, embarrassingly parallel at any corpus size."""
+    return df.select(
+        id_col, *extra_cols, F.transform(words(text_col), word_hash).alias(out_col)
+    )
+
 
 def word_id_map(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary: distinct word -> dense id by lexicographic rank.
 
-    Vocabulary-sized (zipf: tiny vs corpus), built once and broadcast.
-    Deterministic, hence oracle-reproducible — the scale alternative is
-    ``xxhash64(word) % p`` with no vocab build at all (same downstream
-    algebra, engine-private hash); both paths are provided.
+    NOTE: the rank is a single-partition global sort over the distinct
+    vocabulary — acceptable only for small-corpus fixtures that need
+    dense ids. Scale pipelines use ``doc_word_ids_hashed`` (no vocab
+    build at all); contract queries are plan-gated against this path.
     """
     distinct = df.select(F.explode(words(text_col)).alias("word")).distinct()
     w = Window.orderBy("word")
@@ -126,6 +185,10 @@ def minhash_signature(
     return F.array(*sig)
 
 
+#: polynomial base folding a band's signature slice into one bigint key
+BAND_KEY_B = 31
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -137,24 +200,28 @@ def minhash_lsh_pairs(
     """Near-dup candidate pairs via banded MinHash LSH, verified by exact
     Jaccard over distinct word-id sets.
 
-    Shuffles: (1) explode bands -> groupBy band bucket (equi self-join on
-    the bucket key generates candidates — never a cross join); (2) the
-    verify join back to word-id sets. Returns (id_l, id_r, jaccard),
-    id_l < id_r, jaccard >= threshold.
+    Each band's signature slice is folded to ONE bigint key
+    ``k = fold(k*31 + sig[i]) mod p`` — the band join shuffles a 16-byte
+    (band, key) pair instead of a signature array, and the fold is
+    replicable in ANSI SQL for the oracles. Fold collisions can only ADD
+    candidates (verified next), never lose a true pair. Shuffles:
+    (1) banded equi self-join on (band, key) — never a cross join;
+    (2) distinct pairs join back to word-id sets for the exact verify.
+    Returns (id_l, id_r, jaccard), id_l < id_r, jaccard rounded to
+    6 decimals (cross-engine float parity) and >= threshold.
     """
     rows_per_band = n_hashes // bands
     sig = minhash_signature(F.col(word_ids_col), n_hashes)
-    with_sig = docs.select(id_col, word_ids_col).withColumn("_sig", sig)
+    with_sig = docs.select(id_col, sig.alias("_sig"))
 
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.slice(F.col("_sig"), bi * rows_per_band + 1, rows_per_band).alias("key"),
-        )
-        for bi in range(bands)
-    ]
+    def band_key(bi: int) -> Column:
+        k = F.lit(0).cast("bigint")
+        for j in range(rows_per_band):
+            k = (k * BAND_KEY_B + F.col("_sig")[bi * rows_per_band + j]) % F.lit(HASH_P)
+        return F.struct(F.lit(bi).alias("band"), k.alias("key"))
+
     banded = with_sig.select(
-        id_col, F.explode(F.array(*band_cols)).alias("_b")
+        id_col, F.explode(F.array(*[band_key(bi) for bi in range(bands)])).alias("_b")
     ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
 
     l, r = banded.alias("l"), banded.alias("r")
@@ -179,8 +246,11 @@ def minhash_lsh_pairs(
         .join(sets.withColumnsRenamed({id_col: "id_r", "_set": "_sr"}), "id_r")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("_sl", "_sr"))
-            / F.size(F.array_union("_sl", "_sr")),
+            F.round(
+                F.size(F.array_intersect("_sl", "_sr")).cast("double")
+                / F.size(F.array_union("_sl", "_sr")),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_l", "id_r", "jaccard")

@@ -29,10 +29,22 @@ Generation rules (FIXTURES.md §1.2):
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: modulus / base of the portable polynomial fold hash (see below)
+PORTABLE_P = 2_147_483_647
+PORTABLE_B = 1_000_003
+
+
+def portable_salt(s: str) -> int:
+    """Deterministic integer salt for a string tag: md5-prefix mod p.
+    Computed driver-side, so it lands in plans and oracle SQL as a
+    plain literal."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % PORTABLE_P
 
 EVENT_COLUMNS = [
     "op", "lsn", "partition", "offset", "ts",
@@ -57,10 +69,26 @@ class BinlogSpec:
     update_pct: int = 30
     evolve_from_lsn: int | None = None
     seed: int = 42
+    #: "xxhash64" (default — engine-native, fastest) or "portable":
+    #: the polynomial fold h = fold((h*B + x) mod p) over integer
+    #: inputs with string tags pre-folded driver-side (portable_salt),
+    #: so the ENTIRE generator is replicable in ANSI SQL and the CDC
+    #: replay result can be verified by a DuckDB oracle bit-for-bit.
+    hash_mode: str = "xxhash64"
 
 
 def _h(spec: BinlogSpec, *cols: Column | str) -> Column:
     return F.xxhash64(*cols, F.lit(spec.seed))
+
+
+def _fold(seed: int, *cols: Column | int) -> Column:
+    """Portable hash: left fold (acc * B + (x mod p)) mod p. Every
+    intermediate stays < p*B ~ 2^51 (bigint-safe, ANSI-clean)."""
+    acc: Column = F.lit(seed).cast("bigint")
+    for c in cols:
+        v = F.lit(c).cast("bigint") if isinstance(c, int) else c.cast("bigint")
+        acc = (acc * F.lit(PORTABLE_B) + F.pmod(v, F.lit(PORTABLE_P))) % F.lit(PORTABLE_P)
+    return acc
 
 
 def gen_events(spark: SparkSession, spec: BinlogSpec) -> DataFrame:
@@ -69,14 +97,32 @@ def gen_events(spark: SparkSession, spec: BinlogSpec) -> DataFrame:
     per-partition."""
     base = spark.range(spec.n_events).withColumn("lsn", F.col("id") + 1)
 
-    n_hot = max(1, int(spec.n_docs * spec.hot_frac))
-    is_hot = F.pmod(_h(spec, "id", F.lit("hot")), F.lit(1000)) < int(spec.hot_share * 1000)
-    doc_idx = F.when(is_hot, F.pmod(_h(spec, "id", F.lit("hd")), F.lit(n_hot))).otherwise(
-        F.pmod(_h(spec, "id", F.lit("cd")), F.lit(spec.n_docs))
-    )
-    df = base.withColumn("doc_id", F.format_string("doc-%012d", doc_idx))
+    portable = spec.hash_mode == "portable"
 
-    op_r = F.pmod(_h(spec, "id", F.lit("op")), F.lit(100))
+    def H(salt: str | None, *cols: Column | str) -> Column:
+        """Site hasher. xxhash64 mode reproduces the round-1 stream
+        exactly; portable mode folds the pre-hashed salt + int inputs."""
+        cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+        if not portable:
+            tail = [F.lit(salt)] if salt is not None else []
+            return F.xxhash64(*cs, *tail, F.lit(spec.seed))
+        pre = [portable_salt(salt)] if salt is not None else []
+        return _fold(spec.seed, *pre, *cs)
+
+    # doc-keyed hashes use the doc_id STRING under xxhash64 (engine
+    # native) but the integer doc index under portable (so the SQL
+    # replica never needs string hashing)
+    n_hot = max(1, int(spec.n_docs * spec.hot_frac))
+    is_hot = F.pmod(H("hot", "id"), F.lit(1000)) < int(spec.hot_share * 1000)
+    doc_idx = F.when(is_hot, F.pmod(H("hd", "id"), F.lit(n_hot))).otherwise(
+        F.pmod(H("cd", "id"), F.lit(spec.n_docs))
+    )
+    df = base.withColumn("_didx", doc_idx).withColumn(
+        "doc_id", F.format_string("doc-%012d", F.col("_didx"))
+    )
+    dkey = "_didx" if portable else "doc_id"
+
+    op_r = F.pmod(H("op", "id"), F.lit(100))
     df = df.withColumn(
         "op",
         F.when(op_r < spec.insert_pct, F.lit("insert"))
@@ -84,16 +130,16 @@ def gen_events(spark: SparkSession, spec: BinlogSpec) -> DataFrame:
         .otherwise(F.lit("delete")),
     )
 
-    # tokens: deterministic from (doc_id, lsn); ~2% out of [0, vocab)
+    # tokens: deterministic from (doc, lsn); ~2% out of [0, vocab)
     tok_hi = int(spec.vocab * 1.02)
-    length = (F.pmod(_h(spec, "id", F.lit("len")), F.lit(spec.tokens_max)) + 1).cast("int")
+    length = (F.pmod(H("len", "id"), F.lit(spec.tokens_max)) + 1).cast("int")
     tokens = F.transform(
         F.sequence(F.lit(1), length),
-        lambda i: (F.pmod(_h(spec, "doc_id", "lsn", i), F.lit(tok_hi)) - F.lit(25)).cast("int"),
+        lambda i: (F.pmod(H(None, dkey, "lsn", i), F.lit(tok_hi)) - F.lit(25)).cast("int"),
     )
     df = df.withColumn("tokens", F.when(F.col("op") != "delete", tokens))
 
-    wrong = F.pmod(_h(spec, "id", F.lit("bad")), F.lit(1000)) < int(spec.wrong_ntok_frac * 1000)
+    wrong = F.pmod(H("bad", "id"), F.lit(1000)) < int(spec.wrong_ntok_frac * 1000)
     df = df.withColumn(
         "n_tok",
         F.when(F.col("tokens").isNull(), F.lit(None).cast("int")).otherwise(
@@ -101,11 +147,11 @@ def gen_events(spark: SparkSession, spec: BinlogSpec) -> DataFrame:
         ),
     )
 
-    src_idx = F.pmod(_h(spec, "doc_id", F.lit("src")), F.lit(len(SOURCES))).cast("int")
+    src_idx = F.pmod(H("src", dkey), F.lit(len(SOURCES))).cast("int")
     df = df.withColumn("source", F.element_at(F.array(*[F.lit(s) for s in SOURCES]), src_idx + 1))
 
     df = (
-        df.withColumn("partition", F.pmod(_h(spec, "doc_id"), F.lit(spec.n_partitions)).cast("int"))
+        df.withColumn("partition", F.pmod(H(None, dkey), F.lit(spec.n_partitions)).cast("int"))
         .withColumn("offset", F.col("lsn"))
         .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("lsn")))
     )
@@ -113,13 +159,13 @@ def gen_events(spark: SparkSession, spec: BinlogSpec) -> DataFrame:
     if spec.evolve_from_lsn is not None:
         tag = F.when(
             F.col("lsn") >= spec.evolve_from_lsn,
-            F.format_string("tag-%d", F.pmod(_h(spec, "id", F.lit("tag")), F.lit(5))),
+            F.format_string("tag-%d", F.pmod(H("tag", "id"), F.lit(5))),
         )
         df = df.withColumn("tag", tag)
 
     # duplicate deliveries: identical (partition, offset, payload), re-sent
     dup = df.filter(
-        F.pmod(_h(spec, "id", F.lit("dup")), F.lit(1000)) < int(spec.dup_frac * 1000)
+        F.pmod(H("dup", "id"), F.lit(1000)) < int(spec.dup_frac * 1000)
     )
     cols = EVENT_COLUMNS + (["tag"] if spec.evolve_from_lsn is not None else [])
     return df.select(*cols).unionAll(dup.select(*cols))

@@ -87,6 +87,28 @@ def test_media_metadata_prunes_binary(spark):
     assert "payload" not in read
 
 
+def test_no_single_partition_exchange_in_contract_queries(spark):
+    """No contract query may funnel through a single-reducer stage
+    (Exchange SinglePartition) — the failure mode of a global
+    rank/sort like the old vocab build. Cartesian products are banned
+    outright; the only NestedLoop allowed is q22's deliberate
+    broadcast brute-force scorer (tiny query side x corpus — the
+    exact-rank verifier for the ANN paths)."""
+    skip = {
+        # non-parquet inputs (synth/k-means fit at plan time); their
+        # plan properties are covered by their own operator tests
+        "q24_multimodal_features", "q25_cdc_replay_state", "q33_ivf_topk",
+    }
+    for name, fn in entry.queries().items():
+        if name in skip:
+            continue
+        p = plan_of(fn(spark, SF))
+        assert "Exchange SinglePartition" not in p, f"{name} has a single-reducer stage"
+        assert "CartesianProduct" not in p, f"{name} has a cartesian product"
+        if name != "q22_cosine_topk":
+            assert "NestedLoop" not in p, f"{name} has a nested-loop join"
+
+
 def test_whole_stage_codegen_on_transforms(spark):
     """The expression-flavor transforms stay inside WholeStageCodegen
     (no Python eval nodes in the plan)."""

@@ -66,11 +66,12 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"{name}: FAIL rowcount {len(srows)} vs {len(orows)}")
             failures += 1
             continue
-        sset = sorted(tuple(canon(r[i]) for i in scol_idx) for r in srows)
-        oset = sorted(tuple(canon(r[i]) for i in ocol_idx) for r in orows)
+        from collections import Counter
+        sset = Counter(tuple(canon(r[i]) for i in scol_idx) for r in srows)
+        oset = Counter(tuple(canon(r[i]) for i in ocol_idx) for r in orows)
         if sset != oset:
-            diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
-            print(f"{name}: FAIL values; first diffs (spark vs duckdb): {diffs}")
+            diffs = list((sset - oset).items())[:2] + list((oset - sset).items())[:2]
+            print(f"{name}: FAIL values; spark-only then duckdb-only rows: {diffs}")
             failures += 1
         else:
             print(f"{name}: OK ({len(srows)} rows, {len(scols)} cols)")
