@@ -342,20 +342,25 @@ def _popcount_bigint(col: Column, bits: int) -> Column:
 
 def ngram_shingles(word_ids: Column, n: int = 3) -> Column:
     """Word n-gram shingles, each reduced to a single bigint by the
-    polynomial (((w1*B + w2)*B + w3) mod p with B=1_000_003."""
+    polynomial (((w1*B + w2)*B + w3) mod p with B=1_000_003.
+
+    Implemented as n shifted slices folded with zip_with rather than
+    element_at(word_ids, i+j) random access: when ``word_ids`` is a
+    computed projection (the hashed no-vocab path), Catalyst inlines its
+    defining expression into every consumer reference — per-index access
+    re-evaluates the whole md5 token map per shingle per offset (~150x
+    blowup measured); the slice/zip form references the array exactly n
+    times. greatest(m, 0) guards k < n (Spark's sequence(1, 0) steps
+    BACKWARDS, and a negative slice length errors under ANSI)."""
     B = 1_000_003
-    k = F.size(word_ids)
-    # guard k < n explicitly: Spark's sequence(1, 0) steps BACKWARDS
-    # ([1, 0]), which would probe out-of-bounds indices (ANSI error)
-    idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    def shingle_hash(i: Column) -> Column:
-        acc = F.lit(0).cast("bigint")
-        for j in range(n):
-            acc = (acc * B + F.element_at(word_ids, i + j)) % F.lit(HASH_P)
-        return acc
-    return F.array_distinct(F.transform(idx, shingle_hash))
+    m = F.size(word_ids) - (n - 1)
+    slices = [
+        F.slice(word_ids, j + 1, F.greatest(m, F.lit(0))) for j in range(n)
+    ]
+    acc = F.transform(slices[0], lambda x: x % F.lit(HASH_P))
+    for j in range(1, n):
+        acc = F.zip_with(acc, slices[j], lambda a, w: (a * B + w) % F.lit(HASH_P))
+    return F.array_distinct(acc)
 
 
 def ngram_jaccard_pairs(

@@ -12,9 +12,22 @@ Two strategies over ``array<float>`` embeddings:
 
 Hyperplanes are deterministic ±1 vectors derived from the same
 arithmetic hash family as dedup_scale (h_j(d) mod 2), so an external
-SQL oracle reproduces bucket ids exactly. Scores are computed in double
-precision and rounded to 6 decimals before ranking so that rank order
-is reproducible across engines; ties break on corpus id.
+SQL oracle reproduces bucket ids exactly. Ranking uses the RAW double
+score (exact for the quantized integer vectors the contract queries
+feed in — no cross-engine divergence possible); only the *reported*
+score is rounded to 6 decimals. Ties break on corpus id.
+
+Scale controls (100 TB):
+- ``auto_n_planes`` derives the plane count from corpus size so the
+  expected bucket occupancy stays constant as the corpus grows (fixed
+  n_planes means O(n^2 / 2^planes) in-bucket pairs — quadratic);
+- ``lsh_topk`` multiprobes the query's bucket plus its lowest-margin
+  single-bit flips (query-directed multiprobe) to buy recall without
+  shrinking buckets;
+- ``embedding_near_dup_pairs`` takes ``max_bucket_size``: buckets
+  larger than the cap are excluded from pairing (the dedup
+  ``max_block_size`` rule — a mega-bucket means the planes under-split
+  the corpus; raise n_planes rather than pay O(k^2)).
 """
 
 from __future__ import annotations
@@ -98,9 +111,23 @@ def cosine_topk(
     )
 
 
-def hyperplane_sign(vec: Column, plane_idx: int, dim: int) -> Column:
-    """Sign bit of <vec, plane> for the deterministic ±1 hyperplane
-    plane[d] = +1 if h_j(d) mod 2 == 0 else -1."""
+def auto_n_planes(n_vectors: int, target_bucket_size: int = 1024) -> int:
+    """Plane count that keeps the EXPECTED bucket occupancy near
+    ``target_bucket_size`` as the corpus grows: 2^planes buckets over
+    n_vectors. Bounded to [1, 30]. At 10^11 vectors / target 1024 this
+    is 27 planes — in-bucket pair work stays O(n * target) instead of
+    the O(n^2 / 2^const) a fixed plane count degrades to."""
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return 1
+    return max(1, min(30, math.ceil(math.log2(n_vectors / target_bucket_size))))
+
+
+def _plane_projection(vec: Column, plane_idx: int, dim: int) -> Column:
+    """<vec, plane> for the deterministic ±1 hyperplane
+    plane[d] = +1 if h_j(d) mod 2 == 0 else -1, rounded to 6 decimals
+    (stable sign across engines)."""
     a, b = hash_params(plane_idx)
     signed = F.zip_with(
         vec,
@@ -110,8 +137,12 @@ def hyperplane_sign(vec: Column, plane_idx: int, dim: int) -> Column:
             ((d.cast("bigint") * a + b) % F.lit(HASH_P)) % 2 == 0, x.cast("double")
         ).otherwise(-x.cast("double")),
     )
-    s = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
-    return (F.round(s, 6) > 0).cast("int")
+    return F.round(F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x), 6)
+
+
+def hyperplane_sign(vec: Column, plane_idx: int, dim: int) -> Column:
+    """Sign bit of <vec, plane>."""
+    return (_plane_projection(vec, plane_idx, dim) > 0).cast("int")
 
 
 def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
@@ -120,6 +151,42 @@ def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
     for j in range(n_planes):
         bucket = bucket * 2 + hyperplane_sign(vec, j, dim)
     return bucket
+
+
+def lsh_probe_buckets(
+    vec: Column, n_planes: int, dim: int, n_probe: int
+) -> Column:
+    """Query-directed multiprobe: the vector's own bucket plus the
+    ``n_probe - 1`` buckets obtained by flipping the sign bits with the
+    SMALLEST projection margins (the planes the vector sits closest to —
+    exactly where a near-neighbor most likely landed on the other side).
+    Returns an array of distinct bucket ids, own bucket first. Pure
+    column algebra; margins order deterministically (tie-break on the
+    flip mask)."""
+    projs = [_plane_projection(vec, j, dim) for j in range(n_planes)]
+    bits = [(p > 0).cast("int") for p in projs]
+    bucket = F.lit(0)
+    for b in bits:
+        bucket = bucket * 2 + b
+    flips = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(projs[j]).alias("margin"),
+                    F.lit(1 << (n_planes - 1 - j)).alias("mask"),
+                )
+                for j in range(n_planes)
+            ]
+        )
+    )
+    n_flips = min(max(n_probe - 1, 0), n_planes)
+    probes = F.concat(
+        F.array(bucket),
+        F.transform(
+            F.slice(flips, 1, n_flips), lambda s: bucket.bitwiseXOR(s["mask"])
+        ),
+    )
+    return probes
 
 
 def lsh_topk(
@@ -131,20 +198,27 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """ANN top-k: exact ranking restricted to the query's LSH bucket.
+    """ANN top-k: exact ranking restricted to the query's probed LSH
+    buckets.
 
     The corpus is bucketed by sign-LSH (at scale: a write-time partition
-    column, so a probe reads one partition); query->corpus is then an
-    equi join on bucket. Recall < 1 by construction; raise n_planes'
-    inverse (fewer planes -> bigger buckets -> higher recall) or add
-    multiprobe to trade cost for recall.
+    column, so a probe reads one partition); each query probes its own
+    bucket plus the ``n_probe - 1`` lowest-margin single-bit flips
+    (lsh_probe_buckets) and query->corpus is an equi join on bucket.
+    A corpus vector lives in exactly one bucket, so probes never produce
+    duplicate (query, neighbor) rows. Recall grows with n_probe at cost
+    proportional to buckets touched — the scale knob that does NOT
+    shrink buckets (vs lowering n_planes, which grows every bucket).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         norm(F.col(vec_col)).alias("_qn"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
+        F.explode(
+            lsh_probe_buckets(F.col(vec_col), n_planes, dim, n_probe)
+        ).alias("_bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -252,20 +326,39 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.98,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_bucket_size: int | None = None,
+    target_bucket_size: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket self-join (near-
     identical vectors land in the same bucket with high probability),
-    exact cosine verify, threshold. Returns (id_l, id_r, score)."""
+    exact cosine verify, threshold. Returns (id_l, id_r, score).
+
+    ``n_planes=None`` derives the plane count from the corpus size
+    (auto_n_planes, one cheap count job) so in-bucket pair work stays
+    linear as the corpus grows. ``max_bucket_size`` mirrors dedup's
+    max_block_size rule: buckets over the cap are excluded from pairing
+    entirely (bounded worst case under adversarial skew — a mega-bucket
+    means the planes under-split; raise n_planes instead of paying
+    O(k^2))."""
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count(), target_bucket_size)
     b = df.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("_bucket")
+        b = (
+            b.withColumn("_bsize", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsize") <= max_bucket_size)
+            .drop("_bsize")
+        )
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(

@@ -135,10 +135,20 @@ def main() -> None:
             man = table.manifest()
             lineage = man["lineage"]
             committed = table.committed_offsets()
+            # measured per-partition stats (not synthesized): event
+            # counts + max generated offset come from the binlog itself,
+            # lag = max offset - committed offset (0 iff fully drained)
+            pstats = {
+                r["partition"]: (r["n"], r["max_off"])
+                for r in events.groupBy("partition")
+                .agg(F.count(F.lit(1)).alias("n"), F.max("offset").alias("max_off"))
+                .collect()
+            }
             per_partition = [
                 {"partition": p, "committed_offset": o,
-                 "lag": 0,  # availableNow drain: everything committed
-                 "events_per_sec": round(n_events / args.partitions / elapsed, 1)}
+                 "n_events": int(pstats.get(p, (0, o))[0]),
+                 "lag": int(pstats.get(p, (0, o))[1] - o),
+                 "events_per_sec": round(pstats.get(p, (0, o))[0] / elapsed, 1)}
                 for p, o in sorted(committed.items())
             ]
 

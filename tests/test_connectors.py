@@ -1,0 +1,129 @@
+"""Connector edges (S4-S9 as code): Kafka envelope encode/decode and
+option assembly, JDBC option/predicate assembly. No broker or DB exists
+in the sandbox, so these test everything up to the wire boundary — the
+parts that are OUR code, not the connector's."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_rs_spark.sources import jdbc as J
+from etl_rs_spark.sources import kafka as K
+from etl_rs_spark.sources.binlog import BinlogSpec, EVENT_COLUMNS, gen_events
+
+
+# -- kafka ------------------------------------------------------------------
+
+CFG = K.KafkaConfig(bootstrap_servers="broker:9092", topic="binlog")
+
+
+def test_kafka_reader_options_offsets_json():
+    opts = K.kafka_reader_options(CFG, {0: 5, 1: 7}, {0: 10, 1: -1})
+    assert json.loads(opts["startingOffsets"]) == {"binlog": {"0": 5, "1": 7}}
+    assert json.loads(opts["endingOffsets"]) == {"binlog": {"0": 10, "1": -1}}
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["subscribe"] == "binlog"
+    assert opts["failOnDataLoss"] == "false"
+
+
+def test_kafka_reader_options_strings_and_trigger():
+    cfg = K.KafkaConfig("b:9092", "t", fail_on_data_loss=True, max_offsets_per_trigger=500)
+    opts = K.kafka_reader_options(cfg, "earliest")
+    assert opts["startingOffsets"] == "earliest"
+    assert "endingOffsets" not in opts
+    assert opts["failOnDataLoss"] == "true"
+    assert opts["maxOffsetsPerTrigger"] == "500"
+
+
+def test_kafka_envelope_round_trip(spark):
+    """events -> producer frame -> consumer parse == events, with
+    (partition, offset) authoritative from broker metadata and headers
+    carrying (timestamp, row_index) like the reference producer."""
+    ev = gen_events(spark, BinlogSpec(n_events=200, n_docs=40, n_partitions=4))
+    framed = K.to_kafka_frame(ev, "binlog")
+    assert set(K.KAFKA_RAW_SCHEMA.fieldNames()) <= set(framed.columns)
+
+    hdr = framed.select(
+        F.decode(F.col("headers")[0]["value"], "UTF-8").alias("ts_hdr"),
+        F.col("headers")[1]["key"].alias("k2"),
+        F.decode(F.col("headers")[1]["value"], "UTF-8").alias("row_idx"),
+        F.decode("key", "UTF-8").alias("doc"),
+    ).first()
+    assert hdr["k2"] == "row_index" and hdr["row_idx"].isdigit()
+    assert "T" in hdr["ts_hdr"] and hdr["doc"].startswith("doc-")
+
+    parsed = K.parse_envelope(framed)
+    back = parsed.select(*EVENT_COLUMNS)
+    orig = ev.select(*EVENT_COLUMNS)
+    sym_diff = back.exceptAll(orig).count() + orig.exceptAll(back).count()
+    assert sym_diff == 0
+    assert parsed.filter(F.col("tag").isNotNull()).count() == 0  # pre-evolution
+
+
+def test_kafka_envelope_round_trip_with_evolution(spark):
+    """The additive tag column survives the wire (schema evolution
+    through the envelope, not around it)."""
+    ev = gen_events(
+        spark, BinlogSpec(n_events=200, n_docs=40, n_partitions=4, evolve_from_lsn=100)
+    )
+    parsed = K.parse_envelope(K.to_kafka_frame(ev, "binlog"))
+    n_tagged = ev.filter(F.col("tag").isNotNull()).count()
+    assert n_tagged > 0
+    assert parsed.filter(F.col("tag").isNotNull()).count() == n_tagged
+
+
+def test_kafka_batch_source_pins_other_partitions():
+    starting = {p: (50 if p == 2 else -2) for p in range(3)}
+    ending = {p: (61 if p == 2 else -1) for p in range(3)}
+    opts = K.kafka_reader_options(CFG, starting, ending)
+    s = json.loads(opts["startingOffsets"])["binlog"]
+    e = json.loads(opts["endingOffsets"])["binlog"]
+    assert s == {"0": -2, "1": -2, "2": 50}
+    assert e == {"0": -1, "1": -1, "2": 61}
+
+
+# -- jdbc -------------------------------------------------------------------
+
+def test_jdbc_scan_options_stride_quad():
+    cfg = J.JdbcConfig(
+        url="jdbc:postgresql://db:5432/etl", table="events", user="u", password="p",
+        partition_column="event_id", num_partitions=16,
+        lower_bound=0, upper_bound=1_000_000,
+    )
+    opts = J.jdbc_scan_options(cfg)
+    assert opts["partitionColumn"] == "event_id"
+    assert opts["numPartitions"] == "16"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("0", "1000000")
+    assert opts["fetchsize"] == "10000"
+    assert opts["driver"] == "org.postgresql.Driver"
+
+
+def test_jdbc_scan_options_requires_bounds():
+    cfg = J.JdbcConfig(url="jdbc:x", table="t", partition_column="id")
+    with pytest.raises(ValueError):
+        J.jdbc_scan_options(cfg)
+
+
+def test_stride_predicates_cover_key_space():
+    preds = J.stride_predicates("id", 0, 99, 4)
+    assert len(preds) == 4
+    assert "IS NULL" in preds[0]            # nulls routed to slice 0
+    assert preds[-1].startswith("id >= ")
+    # every key in [0, 99] matches exactly one predicate
+    import re
+
+    def matches(k: int, p: str) -> bool:
+        p = p.replace(" OR id IS NULL", "")
+        parts = re.findall(r"id (>=|<) (\d+)", p)
+        return all((k >= int(v)) if op == ">=" else (k < int(v)) for op, v in parts)
+
+    for k in (0, 24, 25, 49, 50, 74, 75, 99):
+        assert sum(matches(k, p) for p in preds) == 1

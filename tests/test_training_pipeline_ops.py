@@ -206,6 +206,73 @@ def test_embedding_near_dups(vecs):
     assert (1, 5) in got
 
 
+def test_auto_n_planes_keeps_bucket_occupancy_constant():
+    assert sim.auto_n_planes(500, 1024) == 1           # corpus < target
+    assert sim.auto_n_planes(2 ** 20, 1024) == 10      # 1M / 1024 = 2^10
+    assert sim.auto_n_planes(10 ** 11, 1024) == 27     # the 100 TB shape
+    # monotone in corpus size, capped at 30
+    planes = [sim.auto_n_planes(10 ** e) for e in range(3, 15)]
+    assert planes == sorted(planes) and planes[-1] <= 30
+
+
+def test_near_dup_bucket_cap_bounds_skewed_buckets(spark):
+    """Adversarial skew: one direction repeated 40x would generate
+    40*39/2 in-bucket pairs. max_bucket_size excludes the mega-bucket
+    (dedup's max_block_size rule) instead of paying O(k^2)."""
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(40)]
+    skewed = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    uncapped = sim.embedding_near_dup_pairs(
+        skewed, dim=4, threshold=0.0, n_planes=1
+    ).count()
+    capped = sim.embedding_near_dup_pairs(
+        skewed, dim=4, threshold=0.0, n_planes=1, max_bucket_size=10
+    ).count()
+    assert uncapped == 40 * 39 / 2
+    assert capped == 0  # the one mega-bucket is excluded entirely
+    # a generous cap changes nothing
+    assert (
+        sim.embedding_near_dup_pairs(
+            skewed, dim=4, threshold=0.0, n_planes=1, max_bucket_size=1000
+        ).count()
+        == uncapped
+    )
+
+
+def test_lsh_topk_multiprobe_monotone_recall(vecs):
+    """Probing more (lowest-margin bit-flip) buckets only ADDS candidate
+    neighbors: with k above corpus size, result pairs grow monotonically
+    with n_probe, never duplicate, and recall vs brute force improves
+    toward 1 at n_probe = 2^n_planes reach."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(vecs, vecs, k=10).collect()
+    }
+    got = {}
+    for n_probe in (1, 2, 3):
+        rows = sim.lsh_topk(
+            vecs, vecs, dim=4, k=10, n_planes=2, n_probe=n_probe
+        ).collect()
+        pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs))  # multiprobe never duplicates
+        got[n_probe] = set(pairs)
+    assert got[1] <= got[2] <= got[3]
+    r1 = len(got[1] & exact)
+    r3 = len(got[3] & exact)
+    assert r3 >= r1
+
+
+def test_lsh_probe_buckets_cover_hamming_one(vecs):
+    """n_probe=3 with 2 planes must probe the vector's own bucket first
+    plus BOTH single-bit flips — the full Hamming-1 neighborhood."""
+    rows = vecs.select(
+        sim.lsh_bucket(F.col("embedding"), 2, 4).alias("b"),
+        sim.lsh_probe_buckets(F.col("embedding"), 2, 4, 3).alias("p"),
+    ).collect()
+    for r in rows:
+        assert r["p"][0] == r["b"]
+        assert sorted(r["p"]) == sorted({r["b"], r["b"] ^ 1, r["b"] ^ 2})
+
+
 # -- multimodal ------------------------------------------------------------
 
 def test_media_plumbing(spark):
