@@ -409,7 +409,11 @@ def q25_cdc_replay_state(spark, sf_dir):
 def q27_embedding_near_dups(spark, sf_dir):
     """Embedding near-dup pairs (similarity.embedding_near_dup_pairs):
     sign-LSH bucket self-join, exact cosine verify over quantized
-    vectors. The 0.3 threshold suits this corpus (max score ~0.4)."""
+    vectors. The 0.3 threshold suits this corpus (max score ~0.4).
+    n_planes=4 is pinned here for the SQL oracle; the scale path
+    derives it from corpus size (n_planes=None -> auto_n_planes) and
+    caps in-bucket pair work with max_bucket_size — both tested in
+    test_training_pipeline_ops.py."""
     qz = _quantized(spark, sf_dir)
     return SIM.embedding_near_dup_pairs(
         qz, dim=64, threshold=0.3, n_planes=4, id_col="vec_id", vec_col="qv"

@@ -123,7 +123,15 @@ class LakehouseTable:
     # -- read ----------------------------------------------------------------
 
     def _bucket(self, col):
-        return F.pmod(F.xxhash64(col, F.lit(0)), F.lit(self.n_buckets)).cast("int")
+        """Bucket id = pmod(murmur3(key), n_buckets) — DELIBERATELY the
+        same hash family Spark's own shuffle partitioner uses
+        (HashPartitioning = pmod(Murmur3Hash, n)). Consequence: the
+        upstream LWW groupBy / merge join, which shuffle on the key,
+        leave every bucket's rows CO-LOCATED in one task whenever the
+        shuffle partition count and n_buckets divide each other — so the
+        bucketed write below needs NO extra repartition (one full-payload
+        shuffle saved per MERGE commit)."""
+        return F.pmod(F.hash(col), F.lit(self.n_buckets)).cast("int")
 
     def _full_schema_ddl(self, man: dict) -> str:
         cols = [f"`{self.key_col}` string"]
@@ -175,10 +183,15 @@ class LakehouseTable:
         changes: DataFrame,
         batch_key: str,
         offsets: dict[int, int] | None = None,
-        lineage: dict[str, int] | None = None,
+        lineage: dict[str, int] | "Callable[[], dict[str, int]]" | None = None,
     ) -> dict:
         """MERGE one LWW-resolved change batch (one row per key; columns:
-        key_col, op, lsn, offset, payload...). Returns commit info."""
+        key_col, op, lsn, offset, payload...). Returns commit info.
+
+        ``lineage`` may be a callable resolved AFTER the data write and
+        before the manifest commit — this lets callers collect counters
+        via Observations riding on the merge job itself instead of
+        running extra passes over the batch."""
         man = self.manifest()
         if batch_key in man["committed"]:
             return {"skipped": True, "version": man["version"]}
@@ -245,9 +258,15 @@ class LakehouseTable:
 
         version = man["version"] + 1
         out_dir = os.path.join(self.path, "data", f"v{version}")
+        # no repartition before the bucketed write: the batch arrives
+        # key-shuffled (LWW agg or merge join), and _bucket is the same
+        # Murmur3 family as that shuffle, so buckets are already
+        # co-located — the dynamic partitionBy sorts within tasks and
+        # emits one file per (task, bucket), typically 1 per bucket.
+        # Worst case (unaligned caller) is more, smaller files per
+        # bucket — still correct; compact() folds them.
         (
-            merged.repartition(self.n_buckets if touched is None else max(1, len(touched)), "_bucket")
-            .write.partitionBy("_bucket")
+            merged.write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -273,6 +292,8 @@ class LakehouseTable:
                 new_buckets[str(b)] = files
         man["buckets"] = new_buckets
 
+        if callable(lineage):
+            lineage = lineage()  # post-write: observations have landed
         for p, o in (offsets or {}).items():
             k = str(p)
             man["offsets"][k] = max(int(man["offsets"].get(k, -1)), int(o))
@@ -304,9 +325,10 @@ class LakehouseTable:
 
         version = man["version"] + 1
         out_dir = os.path.join(self.path, "data", f"v{version}")
+        # _resolve's groupBy(key) already co-locates buckets (same
+        # Murmur3 family as _bucket) — write directly, no repartition
         (
-            resolved.repartition(self.n_buckets, "_bucket")
-            .write.partitionBy("_bucket")
+            resolved.write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from etl_rs_spark.operators.lww import lww_agg, lww_salted
@@ -70,44 +70,71 @@ def process_batch(
         )
 
     events = mapping.apply(events, passthrough=tuple(ENVELOPE))
-    norm = normalize_events(events, vocab=cfg.vocab, max_len=cfg.max_len).persist()
-    try:
-        # ONE pass over the batch for both lineage and committed offsets:
-        # (partition, offset) duplicate-delivery counting decomposes by
-        # partition, so a per-partition rollup carries everything.
-        per_part = (
-            norm.groupBy("partition")
-            .agg(
-                F.count(F.lit(1)).alias("rows_in"),
-                (F.count(F.lit(1)) - F.count_distinct("offset")).alias("dups"),
-                F.sum(F.when(~F.col("_valid"), 1).otherwise(0)).alias("invalid"),
-                F.max("offset").alias("max_offset"),
-            )
-            .collect()
+
+    # committed offsets + delivery stats from the raw ENVELOPE only:
+    # Catalyst prunes the scan to (partition, offset) — the token-array
+    # payload column never leaves parquet for this job. (Duplicate
+    # deliveries have identical (partition, offset), so count -
+    # count_distinct(offset) per partition counts them exactly.)
+    per_part = (
+        events.groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            (F.count(F.lit(1)) - F.count_distinct("offset")).alias("dups"),
+            F.max("offset").alias("max_offset"),
         )
-        offsets = {int(r["partition"]): int(r["max_offset"]) for r in per_part}
-        lineage: dict[str, int] = {}
-        if cfg.collect_lineage:
-            lineage = {
-                "rows_in": sum(int(r["rows_in"]) for r in per_part),
-                "dup_deliveries": sum(int(r["dups"]) for r in per_part),
-                "invalid_dropped": sum(int(r["invalid"] or 0) for r in per_part),
-            }
+        .collect()
+    )
+    offsets = {int(r["partition"]): int(r["max_offset"]) for r in per_part}
 
-        valid = norm.filter("_valid").drop("_valid", "partition")
-        lww = lww_salted if cfg.salted_lww else lww_agg
-        winners = lww(valid, key=table.key_col, order=("lsn", "offset")).persist()
+    norm = normalize_events(events, vocab=cfg.vocab, max_len=cfg.max_len)
+    # remaining lineage counters ride ON the merge job itself via
+    # Observations — no persist of the full batch, no extra passes.
+    obs_norm = obs_win = None
+    if cfg.collect_lineage:
+        obs_norm = Observation()
+        norm = norm.observe(
+            obs_norm,
+            F.sum(F.when(~F.col("_valid"), 1).otherwise(0)).alias("invalid"),
+        )
+    valid = norm.filter("_valid").drop("_valid", "partition")
+    lww = lww_salted if cfg.salted_lww else lww_agg
+    winners = lww(valid, key=table.key_col, order=("lsn", "offset"))
+    if cfg.collect_lineage:
+        obs_win = Observation()
+        winners = winners.observe(
+            obs_win,
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
+            F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("upserts"),
+        )
 
-        if cfg.collect_lineage:
-            ops = {r["op"]: int(r["count"]) for r in winners.groupBy("op").count().collect()}
-            lineage["deletes"] = ops.get("delete", 0)
-            lineage["upserts"] = ops.get("insert", 0) + ops.get("update", 0)
+    # COW on a non-empty table consumes winners twice (touched-bucket
+    # scan + merge join) — cache the small post-LWW frame only there;
+    # the MOR/bulk path is single-consumer and streams straight through.
+    cache_winners = table.mode == "cow"
+    if cache_winners:
+        winners = winners.persist()
 
-        result = table.merge(winners, batch_key, offsets=offsets, lineage=lineage)
+    def lineage_fn() -> dict[str, int]:
+        # resolved AFTER the merge write executes (observations are
+        # collected by that job); safe because merge() calls this only
+        # post-write, pre-manifest-commit
+        lin = {
+            "rows_in": sum(int(r["rows_in"]) for r in per_part),
+            "dup_deliveries": sum(int(r["dups"]) for r in per_part),
+            "invalid_dropped": int(obs_norm.get["invalid"] or 0),
+            "deletes": int(obs_win.get["deletes"] or 0),
+            "upserts": int(obs_win.get["upserts"] or 0),
+        }
+        return lin
+
+    result = table.merge(
+        winners, batch_key, offsets=offsets,
+        lineage=lineage_fn if cfg.collect_lineage else {},
+    )
+    if cache_winners:
         winners.unpersist()
-        return result
-    finally:
-        norm.unpersist()
+    return result
 
 
 def replay_segments(

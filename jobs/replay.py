@@ -59,6 +59,11 @@ def main() -> None:
         "--gen-inline", action="store_true",
         help="skip materialization: generate events lazily inside the timed run",
     )
+    ap.add_argument(
+        "--stages", action="store_true",
+        help="also time pipeline prefixes (scan / +normalize / +lww) so the "
+             "merge cost decomposes into per-stage attributions",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -93,6 +98,23 @@ def main() -> None:
                 F.count(F.lit(1)).alias("n"), F.max("lsn").alias("m")
             ).collect()[0]
             n_events, max_lsn = int(stats["n"]), int(stats["m"])
+        stage_sec: dict[str, float] = {}
+        if args.stages:
+            # cumulative pipeline prefixes on the same input (each forced
+            # via the noop sink); deltas attribute cost per stage. Run
+            # BEFORE the timed replay: they also warm the page cache, so
+            # the replay timing below is the steady-state figure.
+            t = time.monotonic()
+            events.write.format("noop").mode("overwrite").save()
+            stage_sec["scan"] = round(time.monotonic() - t, 3)
+            t = time.monotonic()
+            normalize_events(events).filter("_valid").write.format("noop").mode("overwrite").save()
+            stage_sec["scan_normalize"] = round(time.monotonic() - t, 3)
+            t = time.monotonic()
+            norm0 = normalize_events(events).filter("_valid")
+            lww_agg(norm0.drop("_valid"), key="doc_id").write.format("noop").mode("overwrite").save()
+            stage_sec["scan_normalize_lww"] = round(time.monotonic() - t, 3)
+
         t0 = time.monotonic()
         per_partition: list[dict] = []
         lineage: dict = {}
@@ -162,6 +184,7 @@ def main() -> None:
             "segments": args.segments,
             "elapsed_sec": round(elapsed, 3),
             "events_per_sec": round(n_events / elapsed, 1),
+            "stage_sec": stage_sec or None,
             "lineage": lineage,
             "per_partition": per_partition,
         }))

@@ -81,12 +81,24 @@ def cpu_calibration(levels: list[int]) -> dict[int, float]:
 REPS = int(os.environ.get("SCALING_REPS", "3"))
 
 
-def run_once(cpus: int, events: int, docs: int, mode: str, binlog: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, REPLAY, "--events", str(events), "--docs", str(docs),
-         "--cpus", str(cpus), "--mode", mode, "--binlog", binlog],
-        capture_output=True, text=True, check=True, cwd=ROOT,
-    )
+#: benched replay configurations: pure dataflow, exactly-once MERGE in
+#: both table modes. MOR is the headline (O(batch) delta writes beat
+#: COW's bucket rewrites for every segmented/incremental replay and tie
+#: on bulk loads — see SCALE_EVIDENCE.md).
+MODES = ["dataflow", "merge-mor", "merge-cow"]
+HEADLINE = "merge-mor"
+
+
+def run_once(
+    cpus: int, events: int, docs: int, mode: str, binlog: str, stages: bool = False
+) -> dict:
+    replay_mode, _, table_mode = mode.partition("-")
+    cmd = [sys.executable, REPLAY, "--events", str(events), "--docs", str(docs),
+           "--cpus", str(cpus), "--mode", replay_mode, "--binlog", binlog,
+           "--table-mode", table_mode or "cow"]
+    if stages:
+        cmd.append("--stages")
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=ROOT)
     last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(last)
 
@@ -118,9 +130,9 @@ def main() -> None:
     # best-of-REPS, INTERLEAVED across levels: single-JVM runs vary
     # +-30% (JIT/GC/page-cache state), so reps of different levels are
     # alternated to decorrelate machine drift from the level.
-    results: dict[str, dict[int, dict]] = {m: {} for m in ["dataflow", "merge"]}
+    results: dict[str, dict[int, dict]] = {m: {} for m in MODES}
     for rep in range(REPS):
-        for mode in ["dataflow", "merge"]:
+        for mode in MODES:
             for cpus in LEVELS:
                 r = run_once(cpus, events, docs, mode, binlog_dir)
                 cur = results[mode].get(cpus)
@@ -129,6 +141,20 @@ def main() -> None:
                 print(f"[scaling] rep={rep} mode={mode} cpus={cpus}: "
                       f"{r['events_per_sec']} ev/s ({r['elapsed_sec']}s)",
                       file=sys.stderr)
+
+    # per-stage attribution for the merge modes at the outer levels:
+    # cumulative noop-forced prefixes (scan / +normalize / +lww) next to
+    # the full merge — decomposes the merge cost into dataflow vs
+    # write+commit so a scaling gap can be blamed on the right stage
+    stage_rows: list[tuple[str, int, dict, float]] = []
+    for mode in MODES:
+        if mode == "dataflow":
+            continue
+        for cpus in (LEVELS[0], LEVELS[-1]):
+            r = run_once(cpus, events, docs, mode, binlog_dir, stages=True)
+            stage_rows.append((mode, cpus, r.get("stage_sec") or {}, r["elapsed_sec"]))
+            print(f"[scaling] stages mode={mode} cpus={cpus}: "
+                  f"{r.get('stage_sec')} merge={r['elapsed_sec']}s", file=sys.stderr)
 
     def eff(mode: str, a: int, b: int) -> float:
         return round(
