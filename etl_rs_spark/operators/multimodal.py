@@ -2,11 +2,16 @@
 columns with typed metadata.
 
 The Spark-side contract is real and tested — schema, Arrow batch shape,
-mapInPandas partitioning — while the actual codec work is stubbed: this
-container ships no image/audio libraries, so ``decode`` delegates to a
-clearly marked stub that either raises NotImplementedError (strict mode)
-or produces a deterministic fake feature vector (test mode). Swapping in
-Pillow/torchaudio later changes ONE function, not the pipeline.
+mapInPandas partitioning. Codecs come in two tiers:
+
+- REAL decoders for container formats that need no external library:
+  PCM16 WAV (RIFF chunk walk + numpy frombuffer) and binary PPM (P6).
+  ``synth_media`` emits genuine WAV payloads for its audio rows, so
+  ``extract_features`` exercises a real decode end-to-end in tests.
+- A clearly marked STUB for formats whose codecs aren't in this
+  container (png/jpeg/video): strict mode raises NotImplementedError,
+  test mode produces a deterministic fake. Swapping in Pillow/pyav
+  later changes ONE function, not the pipeline.
 
 At 100 TB: binary payloads never pass through Python row-at-a-time —
 they move as Arrow buffers into mapInPandas batches; metadata-only
@@ -17,6 +22,7 @@ reads the binary column at all.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -53,11 +59,27 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _synth_wav(media_id: int) -> bytes:
+    """Deterministic REAL PCM16 WAV payload for a synth row: a seeded
+    integer ramp, 64-127 samples."""
+    n = 64 + media_id % 64
+    k = np.arange(n, dtype=np.int64)
+    samples = ((media_id * 2654435761 + k * 40503) % 65536) - 32768
+    return encode_wav(samples.astype(np.int16))
+
+
 def synth_media(spark: SparkSession, n: int, seed: int = 42, partitions: int = 8) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes). Generated
+    """Deterministic fake media table. audio/wav rows carry a REAL
+    PCM16 WAV container (Arrow-batched UDF encode); png/jpeg rows carry
+    opaque seeded bytes (their codecs are the honest stub). Generated
     distributed from spark.range — no driver materialization. Small test
     fixtures default to 8 partitions so a tiny table doesn't spin up one
     Python worker per core."""
+    from pyspark.sql.types import BinaryType as _Bin
+
+    wav_udf = F.pandas_udf(
+        lambda ids: ids.map(lambda i: _synth_wav(int(i))), _Bin()
+    )
     mimes = F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("audio/wav"))
     df = (
         spark.range(0, n, 1, numPartitions=min(partitions, max(1, n // 8) or 1))
@@ -65,7 +87,11 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42, partitions: int = 8
         .withColumn("mime", F.element_at(mimes, (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int")))
         .withColumn("width", (F.pmod(F.xxhash64("id", F.lit("w")), F.lit(512)) + 16).cast("int"))
         .withColumn("height", (F.pmod(F.xxhash64("id", F.lit("h")), F.lit(512)) + 16).cast("int"))
-        .withColumn("payload", F.encode(F.format_string("payload-%d", F.col("id")), "utf-8"))
+        .withColumn(
+            "payload",
+            F.when(F.col("mime") == "audio/wav", wav_udf(F.col("id")))
+            .otherwise(F.encode(F.format_string("payload-%d", F.col("id")), "utf-8")),
+        )
         .withColumn("n_bytes", F.length("payload").cast("int"))
     )
     return df.select([f.name for f in MEDIA_SCHEMA.fields])
@@ -87,6 +113,101 @@ def filter_media_metadata(
     if max_bytes is not None:
         out = out.filter(F.col("n_bytes") <= max_bytes)
     return out
+
+
+# -- real codecs (no external libraries required) ---------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Canonical PCM16 mono WAV: RIFF header + fmt + data chunks."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real RIFF/WAVE parse: walk chunks, require PCM16, return
+    (float64 samples in [-1, 1], sample_rate). Raises ValueError on a
+    malformed container — null-on-invalid is the CALLER's policy."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, rate, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt_code, _ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_code != 1:
+                raise ValueError(f"unsupported WAV format code {fmt_code}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if bits != 16:
+        raise ValueError(f"only PCM16 supported, got {bits}-bit")
+    return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0, rate
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6): ASCII header + raw RGB bytes; pixels (h, w, 3)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + np.asarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Real P6 parse (header tokens may be separated by any whitespace or
+    comments) -> (h, w, 3) uint8 array."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    toks: list[int] = []
+    pos = 2
+    while len(toks) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(int(payload[start:pos]))
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    raw = payload[pos + 1 : pos + 1 + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _pool_to_dim(values: np.ndarray, dim: int) -> list[float]:
+    """Mean-pool a 1-D signal into dim buckets (the deterministic
+    'featurization' stage — a real model embeds here)."""
+    v = np.asarray(values, dtype=np.float64).ravel()
+    if v.size == 0:
+        return [0.0] * dim
+    pad = (-v.size) % dim
+    if pad:
+        v = np.concatenate([v, np.zeros(pad)])
+    return v.reshape(dim, -1).mean(axis=1).astype(np.float32).tolist()
+
+
+def decode_media(payload: bytes, mime: str, dim: int, strict: bool) -> list[float]:
+    """Dispatch: REAL decode for wav/ppm, stub for formats whose codecs
+    aren't shipped here. The real paths work in strict mode too."""
+    if mime == "audio/wav":
+        samples, _rate = decode_wav(payload)
+        return _pool_to_dim(samples, dim)
+    if mime in ("image/ppm", "image/x-portable-pixmap"):
+        return _pool_to_dim(decode_ppm(payload).astype(np.float64) / 255.0, dim)
+    return _decode_stub(payload, mime, dim, strict)
 
 
 def _decode_stub(payload: bytes, mime: str, dim: int, strict: bool) -> list[float]:
@@ -119,7 +240,7 @@ def extract_features(
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
                     "feature": [
-                        _decode_stub(p, m, dim, strict)
+                        decode_media(p, m, dim, strict)
                         for p, m in zip(pdf["payload"], pdf["mime"])
                     ],
                 }

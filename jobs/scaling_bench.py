@@ -165,6 +165,7 @@ def main() -> None:
         "events": events,
         "docs": docs,
         "levels": LEVELS,
+        "headline_mode": HEADLINE,
         "cpu_calibration_sec": calib,
         "cpu_calibration_efficiency": calib_eff,
         "mem_calibration_sec": mem_calib,
@@ -173,6 +174,10 @@ def main() -> None:
         "scaling_efficiency": {
             m: {f"{a}->{b}": eff(m, a, b) for a, b in PAIRS} for m in results
         },
+        "stage_sec": [
+            {"mode": m, "cpus": c, **st, "full_merge": full}
+            for m, c, st, full in stage_rows
+        ],
     }
     print(json.dumps(summary))
 
@@ -229,6 +234,10 @@ def main() -> None:
         lines.append(f"| {m} | {row} |")
     lines += [
         "",
+        f"`{HEADLINE}` is the headline configuration (merge-on-read:",
+        "O(batch) delta appends; compaction amortized separately —",
+        "SCALE_EVIDENCE.md compares write amplification).",
+        "",
         "| mode | pair | engine efficiency | machine ceiling |",
         "|---|---|---|---|",
     ]
@@ -239,11 +248,30 @@ def main() -> None:
             )
     lines += [
         "",
+        "## Per-stage attribution (merge decomposition)",
+        "",
+        "Cumulative noop-forced prefixes of the same job on the same",
+        "binlog: `scan` -> `+normalize` -> `+LWW` (= the dataflow), then",
+        "the full exactly-once MERGE. The write+commit leg is",
+        "`full_merge - scan_normalize_lww`. This attributes any scaling",
+        "gap to the stage that actually causes it.",
+        "",
+        "| mode | cpus | scan | +normalize | +LWW | full merge | write+commit |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for m, c, st, full in stage_rows:
+        wc = full - st.get("scan_normalize_lww", 0)
+        lines.append(
+            f"| {m} | {c} | {st.get('scan', 0):.1f}s | {st.get('scan_normalize', 0):.1f}s "
+            f"| {st.get('scan_normalize_lww', 0):.1f}s | {full:.1f}s | {wc:.1f}s |"
+        )
+    lines += [
+        "",
         "Per-partition committed offsets, lag and lineage counters are",
         "emitted by `jobs/replay.py` (JSON); lineage for the largest",
-        "merge run:",
+        "headline-mode run:",
         "```json",
-        json.dumps(results["merge"][LEVELS[-1]].get("lineage", {}), indent=2),
+        json.dumps(results[HEADLINE][LEVELS[-1]].get("lineage", {}), indent=2),
         "```",
         "",
         "10^10-event scale is evidenced by sustained-rate extrapolation:",

@@ -289,10 +289,61 @@ def test_media_plumbing(spark):
     assert {r["media_id"]: r["feature"] for r in rows} == again
 
 
-def test_media_strict_mode_raises(spark):
-    media = mm.synth_media(spark, 2)
+def test_media_strict_mode_raises_only_for_stub_formats(spark):
+    media = mm.synth_media(spark, 30)
+    # png/jpeg have no shipped codec: strict raises
     with pytest.raises(Exception):
-        mm.extract_features(media, dim=8, strict=True).collect()
+        mm.extract_features(
+            mm.filter_media_metadata(media, mimes=("image/png", "image/jpeg")),
+            dim=8, strict=True,
+        ).collect()
+    # audio/wav decodes for REAL — strict mode succeeds
+    wav_feats = mm.extract_features(
+        mm.filter_media_metadata(media, mimes=("audio/wav",)), dim=8, strict=True
+    ).collect()
+    assert wav_feats and all(len(r["feature"]) == 8 for r in wav_feats)
+
+
+def test_wav_codec_round_trip():
+    import numpy as np
+
+    samples = (np.arange(100) * 321 % 65536 - 32768).astype(np.int16)
+    decoded, rate = mm.decode_wav(mm.encode_wav(samples, sample_rate=16000))
+    assert rate == 16000
+    assert np.allclose(decoded * 32768.0, samples)
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"payload-123")  # the old fake bytes are rejected
+    with pytest.raises(ValueError):
+        mm.decode_wav(mm.encode_wav(samples)[:20])  # truncated container
+
+
+def test_ppm_codec_round_trip():
+    import numpy as np
+
+    px = (np.arange(4 * 3 * 3) % 256).astype(np.uint8).reshape(4, 3, 3)
+    back = mm.decode_ppm(mm.encode_ppm(px))
+    assert back.shape == (4, 3, 3) and (back == px).all()
+    # comments + arbitrary whitespace in the header are legal P6
+    hdr_variant = b"P6 # a comment\n3\n4 255\n" + px.tobytes()
+    assert (mm.decode_ppm(hdr_variant) == px).all()
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"P5 1 1 255 x")
+
+
+def test_real_wav_features_match_local_decode(spark):
+    """extract_features over the wav rows must equal a driver-side
+    decode of the same payloads — the Spark path adds plumbing, not
+    semantics."""
+    media = mm.synth_media(spark, 30)
+    wav = mm.filter_media_metadata(media, mimes=("audio/wav",))
+    got = {r["media_id"]: r["feature"] for r in mm.extract_features(wav, dim=4).collect()}
+    local = {
+        r["media_id"]: mm._pool_to_dim(mm.decode_wav(bytes(r["payload"]))[0], 4)
+        for r in wav.collect()
+    }
+    assert got.keys() == local.keys() and len(got) > 0
+    for k in got:
+        assert got[k] == pytest.approx(local[k])
 
 
 def test_frame_sample_plan(spark):
