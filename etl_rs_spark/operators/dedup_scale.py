@@ -172,17 +172,27 @@ def minhash_signature(
     word_ids: Column, n_hashes: int
 ) -> Column:
     """n_hashes universal hashes h_i(x) = (a_i*x + b_i) mod p; signature
-    element i = min over the doc's distinct word ids. Pure array algebra."""
+    element i = min over the doc's distinct word ids.
+
+    Computed as ONE fold over the distinct set (acc[i] = min(acc[i],
+    h_i(x)) via zip_with) rather than n_hashes independent
+    array_min(transform(...)) passes: the latter references the distinct
+    array n times, and when ``word_ids`` is a computed projection (the
+    hashed no-vocab path) Catalyst inlines its md5 token map into every
+    reference — n full recomputes per row. Same arithmetic, same
+    values."""
     distinct = F.array_distinct(word_ids)
+    params = [hash_params(i) for i in range(n_hashes)]
+    init = F.array_repeat(F.lit(HASH_P).cast("bigint"), n_hashes)
 
-    def hasher(a: int, b: int):
-        return lambda x: (x * a + b) % F.lit(HASH_P)
+    def step(acc: Column, x: Column) -> Column:
+        hashes = F.array(*[(x * a + b) % F.lit(HASH_P) for a, b in params])
+        return F.zip_with(acc, hashes, lambda m, h: F.least(m, h))
 
-    sig = []
-    for i in range(n_hashes):
-        a, b = hash_params(i)
-        sig.append(F.array_min(F.transform(distinct, hasher(a, b))))
-    return F.array(*sig)
+    sig = F.aggregate(distinct, init, step)
+    # empty word set -> null signature (matches the old per-element
+    # array_min-of-empty semantics of "no signature")
+    return F.when(F.size(distinct) > 0, sig)
 
 
 #: polynomial base folding a band's signature slice into one bigint key
@@ -264,20 +274,33 @@ def minhash_lsh_pairs(
 def simhash(word_ids: Column, bits: int = 16) -> Column:
     """SimHash fingerprint over a doc's distinct word ids: bit j is set
     when the majority of word-hash bits h_j(x) mod 2 are 1. Returns the
-    fingerprint as a bigint. Pure array algebra, no shuffle."""
+    fingerprint as a bigint. Pure array algebra, no shuffle.
+
+    One fold accumulates ALL per-bit votes (zip_with add of a ±1 array
+    per word) instead of `bits` independent aggregate passes — the
+    distinct array is referenced once, so the hashed no-vocab word-id
+    expression isn't re-inlined per bit (see minhash_signature)."""
     distinct = F.array_distinct(word_ids)
+    params = [hash_params(j) for j in range(bits)]
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), bits)
 
-    def voter(a: int, b: int):
-        return lambda acc, x: acc + F.when(
-            ((x * a + b) % F.lit(HASH_P)) % 2 == 1, 1
-        ).otherwise(-1)
+    def step(acc: Column, x: Column) -> Column:
+        word_votes = F.array(
+            *[
+                F.when(((x * a + b) % F.lit(HASH_P)) % 2 == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("bigint")
+                for a, b in params
+            ]
+        )
+        return F.zip_with(acc, word_votes, lambda v, w: v + w)
 
-    fp = F.lit(0).cast("bigint")
-    for j in range(bits):
-        a, b = hash_params(j)
-        votes = F.aggregate(distinct, F.lit(0).cast("bigint"), voter(a, b))
-        fp = fp + F.when(votes > 0, F.lit(2 ** j).cast("bigint")).otherwise(0)
-    return fp
+    votes = F.aggregate(distinct, zeros, step)
+    powers = F.array(*[F.lit(2 ** j).cast("bigint") for j in range(bits)])
+    bits_set = F.zip_with(
+        votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint"))
+    )
+    return F.aggregate(bits_set, F.lit(0).cast("bigint"), lambda a, x: a + x)
 
 
 def simhash_pairs(
