@@ -127,3 +127,38 @@ def test_stride_predicates_cover_key_space():
 
     for k in (0, 24, 25, 49, 50, 74, 75, 99):
         assert sum(matches(k, p) for p in preds) == 1
+
+
+# -- iceberg MERGE INTO sink (SQL builders; no catalog in sandbox) ----------
+
+def test_iceberg_create_table_sql_shape():
+    from etl_rs_spark.sinks import iceberg as I
+
+    sql = I.create_table_sql(
+        "lake.db.tokens", "tokens ARRAY<INT>, n_tok INT, source STRING",
+        key_col="doc_id", n_buckets=64,
+    )
+    assert "CREATE TABLE IF NOT EXISTS lake.db.tokens" in sql
+    assert "PARTITIONED BY (bucket(64, doc_id))" in sql
+    assert "'write.merge.mode'='merge-on-read'" in sql
+    assert "'format-version'='2'" in sql
+    assert "_lsn BIGINT" in sql and "_deleted BOOLEAN" in sql
+
+
+def test_iceberg_merge_sql_lww_guard():
+    from etl_rs_spark.sinks import iceberg as I
+
+    sql = I.merge_sql("lake.db.tokens", "src", "doc_id", ["tokens", "_lsn", "_offset", "_deleted"])
+    assert "MERGE INTO lake.db.tokens t" in sql
+    assert "USING src s" in sql
+    assert "ON t.doc_id = s.doc_id" in sql
+    # strictly-newer LWW guard: replayed old batches cannot regress a key
+    assert "WHEN MATCHED AND struct(s._lsn, s._offset) > struct(t._lsn, t._offset)" in sql
+    assert "WHEN NOT MATCHED THEN INSERT (doc_id, tokens, _lsn, _offset, _deleted)" in sql
+
+
+def test_iceberg_table_requires_catalog(spark):
+    from etl_rs_spark.sinks import iceberg as I
+
+    with pytest.raises(RuntimeError, match="no Iceberg catalog"):
+        I.IcebergTable(spark, "nocat.db.t")
