@@ -410,10 +410,16 @@ def ngram_jaccard_pairs(
         F.col(blocking_col).alias("_blk"),
         ngram_shingles(F.col(word_ids_col), n).alias("_sh"),
     )
-    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
-    postings = sh.select(F.col(id_col), "_blk", F.explode("_sh").alias("_s"))
+    # each posting carries its doc's shingle-set size: |A| and |B| then
+    # fall out of the SAME pair aggregation (any_value of a per-doc
+    # constant) instead of two extra join-backs to a sizes frame — the
+    # shingle pipeline is computed once per join side (identical
+    # subtrees -> Spark reuses the shuffle exchange), not four times
+    postings = sh.select(
+        F.col(id_col), "_blk", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
+    )
     l, r = postings.alias("l"), postings.alias("r")
-    inter = (
+    return (
         l.join(
             r,
             (F.col("l._s") == F.col("r._s"))
@@ -423,11 +429,11 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"l.{id_col}").alias("id_l"), F.col(f"r.{id_col}").alias("id_r")
         )
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    return (
-        inter.join(sizes.withColumnsRenamed({id_col: "id_l", "_n": "_nl"}), "id_l")
-        .join(sizes.withColumnsRenamed({id_col: "id_r", "_n": "_nr"}), "id_r")
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.any_value(F.col("l._n")).alias("_nl"),
+            F.any_value(F.col("r._n")).alias("_nr"),
+        )
         .withColumn(
             "jaccard",
             F.col("_inter") / (F.col("_nl") + F.col("_nr") - F.col("_inter")),

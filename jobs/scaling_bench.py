@@ -195,9 +195,10 @@ def main() -> None:
         "",
         "Sandbox stand-in for the north rule's two cluster sizes: the",
         "identical job at N and 4N local cores; efficiency =",
-        "(throughput_4N / throughput_N) / 4. `dataflow` = binlog gen ->",
-        "normalize -> LWW resolve; `merge` adds the exactly-once MERGE",
-        "commit into the lakehouse table (the headline-metric path).",
+        "(throughput_4N / throughput_N) / 4. `dataflow` = stored binlog",
+        "read -> normalize -> LWW resolve; `merge-*` adds the",
+        "exactly-once MERGE commit (mor = merge-on-read headline,",
+        "cow = copy-on-write).",
         "",
         "## Machine ceilings (calibration, no Spark, no JVM)",
         "",
@@ -254,7 +255,10 @@ def main() -> None:
         "binlog: `scan` -> `+normalize` -> `+LWW` (= the dataflow), then",
         "the full exactly-once MERGE. The write+commit leg is",
         "`full_merge - scan_normalize_lww`. This attributes any scaling",
-        "gap to the stage that actually causes it.",
+        "gap to the stage that actually causes it. Stage prefixes and",
+        "the full merge are separate timed runs in one JVM: +-20%",
+        "machine variance means small deltas (incl. slightly negative",
+        "write+commit) read as 'write adds ~0 beyond the dataflow'.",
         "",
         "| mode | cpus | scan | +normalize | +LWW | full merge | write+commit |",
         "|---|---|---|---|---|---|---|",
