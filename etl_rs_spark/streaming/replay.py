@@ -165,10 +165,17 @@ def replay_stream(
     cfg: ReplayConfig | None = None,
     max_files_per_trigger: int = 4,
     stream_name: str = "replay",
+    transform=None,
 ):
     """Structured Streaming replay with exactly-once foreachBatch MERGE.
     Uses availableNow so tests/bench drain the backlog and stop; a live
-    tail would simply drop that trigger."""
+    tail would simply drop that trigger.
+
+    ``transform`` decodes each micro-batch before processing — e.g.
+    ``sources.kafka.parse_envelope`` when the stream carries
+    Kafka-shaped (key, value, headers) rows instead of bare change
+    events; the same hook is where a real `format("kafka")` source
+    plugs in (kafka_stream_source -> parse_envelope -> this)."""
     stream = (
         spark.readStream.schema(schema_ddl)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -176,6 +183,8 @@ def replay_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         process_batch(table, batch_df, f"{stream_name}:{batch_id}", mapping, cfg)
 
     return (

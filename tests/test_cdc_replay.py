@@ -167,6 +167,29 @@ def test_streaming_replay(spark, tmp_path, binlog, oracle_state):
     assert table_state(table.read()) == oracle_state
 
 
+def test_streaming_replay_from_kafka_envelope(spark, tmp_path, binlog, oracle_state):
+    """The full wire path: change events encoded as Kafka-shaped
+    (key, value, headers) frames -> streamed -> parse_envelope decode ->
+    exactly-once MERGE. Final state must equal the sequential oracle —
+    the envelope adds transport, not semantics."""
+    from etl_rs_spark.sources import kafka as K
+
+    path, _, _ = binlog
+    wire = str(tmp_path / "wire")
+    K.to_kafka_frame(
+        spark.read.option("mergeSchema", True).parquet(f"{path}/seg-*"), "binlog"
+    ).write.parquet(wire)
+
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8)
+    q = replay_stream(
+        spark, table, wire, str(tmp_path / "ckpt"), K.KAFKA_RAW_SCHEMA,
+        cfg=CFG, max_files_per_trigger=6,
+        transform=lambda df: K.parse_envelope(df).drop("tag"),
+    )
+    q.awaitTermination(300)
+    assert table_state(table.read()) == oracle_state
+
+
 def test_mor_replay_matches_oracle_and_compacts(spark, tmp_path, binlog, oracle_state):
     """Merge-on-read mode: append-only deltas + read-time LWW resolve
     must yield the same final state as copy-on-write; compaction folds
