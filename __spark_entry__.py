@@ -375,8 +375,11 @@ def q23_embedding_lsh_buckets(spark, sf_dir):
 
 def q24_multimodal_features(spark, sf_dir):
     """Binary media plumbing: synth table -> metadata-pruned filter ->
-    Arrow-batched stub featurization -> agg (deterministic)."""
-    media = MM.synth_media(spark, 200)
+    Arrow-batched stub featurization -> agg. hash_mode='portable' makes
+    the synth table SQL-regenerable, and the png/jpeg stub feature is a
+    pure function of the payload bytes ('payload-<id>' -> first byte
+    'p'), so the DuckDB oracle replays the whole query."""
+    media = MM.synth_media(spark, 200, hash_mode="portable")
     feats = MM.extract_features(
         MM.filter_media_metadata(media, mimes=("image/png", "image/jpeg")), dim=8
     )
@@ -519,14 +522,18 @@ def q32_lang_id(spark, sf_dir):
 
 
 def q33_ivf_topk(spark, sf_dir):
-    """IVF ANN (similarity.ivf_topk): k-means coarse quantizer, probe
-    the 2 nearest of 8 cells, exact rank within. MLlib k-means isn't
-    SQL-reproducible -> rows-only check; exactness vs brute force when
-    probing all cells is pinned in tests."""
+    """IVF ANN (similarity.ivf_topk_exact): deterministic integer
+    Lloyd's coarse quantizer (2 iterations, 8 cells, ties to the lower
+    cell, floor-mean centroids), probe the 2 nearest cells, exact
+    cosine rank within. Every stage is exact integer arithmetic over
+    the quantized vectors, so the DuckDB oracle replays the k-means
+    itself (unrolled iterations) and matches bit-for-bit. The MLlib
+    variant (similarity.ivf_topk) remains the library path for real
+    clusters; its probe-all ≡ brute-force exactness is pinned in tests."""
     qz = _quantized(spark, sf_dir)
-    return SIM.ivf_topk(
+    return SIM.ivf_topk_exact(
         qz.filter(F.col("vec_id") < 10), qz, k=5, n_cells=8, n_probe=2,
-        id_col="vec_id", vec_col="qv",
+        iters=2, id_col="vec_id", vec_col="qv",
     )
 
 
@@ -728,6 +735,89 @@ def _q25_oracle_sql() -> str:
         FROM winners
         WHERE op <> 'delete'
         GROUP BY 1
+    """
+
+
+def _q33_oracle_sql(n_cells: int = 8, iters: int = 2, n_probe: int = 2, k: int = 5) -> str:
+    """Replays ivf_topk_exact entirely in SQL: the integer Lloyd's
+    iterations are UNROLLED as CTE chains (assign -> per-dim sums ->
+    floor-mean centroids, empty cells keeping the previous centroid),
+    then final cell assignment, n_probe query probes, and exact cosine
+    ranking within probed cells."""
+
+    def dist(qv: str, cent: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"({qv}[i] - {cent}[i]) * ({qv}[i] - {cent}[i])))"
+        )
+
+    parts = [
+        f"""c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+                 qv AS cent
+          FROM (SELECT * FROM quant ORDER BY vec_id LIMIT {n_cells})
+        )"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        parts.append(f"""a{it} AS (
+          SELECT vec_id, qv, cell FROM (
+            SELECT q.vec_id, q.qv, c.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {dist('q.qv', 'c.cent')}, c.cell) AS rn
+            FROM quant q, {prev} c
+          ) WHERE rn = 1
+        )""")
+        parts.append(f"""s{it} AS (
+          SELECT cell, t.range AS i,
+                 CAST(sum(qv[t.range]) AS BIGINT) AS s, count(*) AS c
+          FROM a{it}, range(1, 65) t GROUP BY cell, t.range
+        )""")
+        parts.append(f"""n{it} AS (
+          SELECT cell, array_agg(CAST(floor(CAST(s AS DOUBLE) / c) AS BIGINT)
+                                 ORDER BY i) AS cent
+          FROM s{it} GROUP BY cell
+        )""")
+        parts.append(f"""c{it} AS (
+          SELECT {prev}.cell, coalesce(n{it}.cent, {prev}.cent) AS cent
+          FROM {prev} LEFT JOIN n{it} USING (cell)
+        )""")
+    final = f"c{iters}"
+    parts.append(f"""ccell AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT q.vec_id, q.qv, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {dist('q.qv', 'c.cent')}, c.cell) AS rn
+        FROM quant q, {final} c
+      ) WHERE rn = 1
+    )""")
+    parts.append(f"""qcell AS (
+      SELECT vec_id AS query_id, qv, cell FROM (
+        SELECT q.vec_id, q.qv, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {dist('q.qv', 'c.cent')}, c.cell) AS rn
+        FROM quant q, {final} c WHERE q.vec_id < 10
+      ) WHERE rn <= {n_probe}
+    )""")
+    parts.append("""scored AS (
+      SELECT qc.query_id, cc.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i -> qc.qv[i] * cc.qv[i])) AS DOUBLE)
+             / nullif(
+                 sqrt(CAST(list_sum(list_transform(range(1, 65), i -> qc.qv[i] * qc.qv[i])) AS DOUBLE))
+               * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> cc.qv[i] * cc.qv[i])) AS DOUBLE)),
+               0.0) AS score
+      FROM qcell qc JOIN ccell cc USING (cell)
+      WHERE qc.query_id <> cc.vec_id
+    )""")
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {_QUANT_CTE},
+        {ctes}
+        SELECT query_id, neighbor_id, rank, round(score, 6) AS score FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+          ) AS rank FROM scored
+        ) WHERE rank <= {k}
     """
 
 
@@ -1134,6 +1224,24 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q25_cdc_replay_state"] = _q25_oracle_sql()
 
+    # q24: regenerate the portable-hash synth_media mime assignment and
+    # replay the stub featurization analytically. The png/jpeg stub
+    # feature is np.resize(payload, dim)/255 over payload
+    # 'payload-<id>' — feature[0] is always byte 'p' = 112, and
+    # floor(1000 * float32(112/255)) = 439 for every row, so
+    # sum_f0_milli = 439 * n per mime group.
+    q24_pref = (42 * PORTABLE_B + portable_salt("mime")) % P
+    sql["q24_multimodal_features"] = f"""
+        WITH m AS (
+          SELECT ((CAST({q24_pref} AS BIGINT) * {PORTABLE_B} + r.range) % {P}) % 3 AS mi
+          FROM range(200) r
+        )
+        SELECT CASE mi WHEN 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+               count(*) AS n,
+               CAST(count(*) * 439 AS BIGINT) AS sum_f0_milli
+        FROM m WHERE mi IN (0, 1) GROUP BY 1
+    """
+
     # q30: the synthesized JDD inputs form a CLOSED ENUM for every
     # pandas-UDF stage, so the oracle replicates them as hand-derived
     # CASE literals straight from the reference semantics (all pinned
@@ -1216,8 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         FROM norm GROUP BY civilite
     """
 
-    # q24 (multimodal stub featurization) and q33 (MLlib k-means cells)
-    # are intentionally omitted: not SQL-expressible; the driver records
-    # rows-only checks and pytest pins their semantics (q33 probe-all ≡
-    # brute force; q24 deterministic fake featurizer).
+    sql["q33_ivf_topk"] = _q33_oracle_sql()
+
+    # every queries() entry now has a DuckDB oracle (33/33).
     return {k: v.strip() for k, v in sql.items()}

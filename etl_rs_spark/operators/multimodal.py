@@ -68,25 +68,47 @@ def _synth_wav(media_id: int) -> bytes:
     return encode_wav(samples.astype(np.int16))
 
 
-def synth_media(spark: SparkSession, n: int, seed: int = 42, partitions: int = 8) -> DataFrame:
+def synth_media(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int = 8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
     """Deterministic fake media table. audio/wav rows carry a REAL
     PCM16 WAV container (Arrow-batched UDF encode); png/jpeg rows carry
     opaque seeded bytes (their codecs are the honest stub). Generated
     distributed from spark.range — no driver materialization. Small test
     fixtures default to 8 partitions so a tiny table doesn't spin up one
-    Python worker per core."""
+    Python worker per core.
+
+    ``hash_mode="portable"`` assigns mime/width/height via the binlog's
+    polynomial fold hash (sources.binlog._fold) so a SQL oracle can
+    regenerate the table exactly — the same trick as
+    BinlogSpec.hash_mode."""
     from pyspark.sql.types import BinaryType as _Bin
+
+    from etl_rs_spark.sources.binlog import _fold, portable_salt
 
     wav_udf = F.pandas_udf(
         lambda ids: ids.map(lambda i: _synth_wav(int(i))), _Bin()
+    )
+
+    def H(salt: str) -> F.Column:
+        if hash_mode == "portable":
+            return _fold(seed, portable_salt(salt), F.col("id"))
+        return F.xxhash64("id", F.lit(salt))
+
+    # xxhash64 mode reproduces the original round-1 stream exactly
+    mime_h = (
+        _fold(seed, portable_salt("mime"), F.col("id"))
+        if hash_mode == "portable"
+        else F.xxhash64("id", F.lit(seed))
     )
     mimes = F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("audio/wav"))
     df = (
         spark.range(0, n, 1, numPartitions=min(partitions, max(1, n // 8) or 1))
         .withColumn("media_id", F.format_string("m-%08d", F.col("id")))
-        .withColumn("mime", F.element_at(mimes, (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int")))
-        .withColumn("width", (F.pmod(F.xxhash64("id", F.lit("w")), F.lit(512)) + 16).cast("int"))
-        .withColumn("height", (F.pmod(F.xxhash64("id", F.lit("h")), F.lit(512)) + 16).cast("int"))
+        .withColumn("mime", F.element_at(mimes, (F.pmod(mime_h, F.lit(3)) + 1).cast("int")))
+        .withColumn("width", (F.pmod(H("w"), F.lit(512)) + 16).cast("int"))
+        .withColumn("height", (F.pmod(H("h"), F.lit(512)) + 16).cast("int"))
         .withColumn(
             "payload",
             F.when(F.col("mime") == "audio/wav", wav_udf(F.col("id")))

@@ -322,6 +322,109 @@ def ivf_topk(
     )
 
 
+def ivf_topk_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC integer Lloyd's coarse quantizer —
+    the oracle-checkable twin of ``ivf_topk`` (whose MLlib k-means
+    centroids are not SQL-expressible).
+
+    Over integer-quantized vectors every step is exact integer
+    arithmetic: init centroids = the vectors of the ``n_cells`` smallest
+    ids; assignment = argmin of the integer squared distance (ties to
+    the lower cell); update = per-dimension floor(sum/count) (empty
+    cells keep their previous centroid); fixed ``iters`` iterations.
+    An external SQL engine reproduces the centroids, cells and ranking
+    bit-for-bit. Per-iteration driver traffic is n_cells rows (the
+    centroids) — never O(corpus).
+    """
+    import math
+
+    spark = corpus.sparkSession
+
+    def sq_dist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(side: DataFrame, cent_df: DataFrame, n: int, sid: str) -> DataFrame:
+        d = side.crossJoin(F.broadcast(cent_df)).withColumn(
+            "_dist", sq_dist(F.col(vec_col), F.col("_cent"))
+        )
+        w = Window.partitionBy(sid).orderBy(F.asc("_dist"), F.asc("cell"))
+        return (
+            d.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= n)
+            .drop("_dist", "_cr", "_cent")
+        )
+
+    init = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    cents: list[list[int]] = [[int(x) for x in r[vec_col]] for r in init]
+
+    def cent_frame() -> DataFrame:
+        return spark.createDataFrame(
+            [(i, cents[i]) for i in range(len(cents))],
+            "cell int, _cent array<bigint>",
+        )
+
+    for _ in range(iters):
+        assigned = assign(
+            corpus.select(id_col, vec_col), cent_frame(), 1, id_col
+        )
+        rows = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = (int(r["s"]), int(r["c"]))
+        for ci in range(len(cents)):
+            dims = by_cell.get(ci)
+            if dims:  # empty cells keep their previous centroid
+                cents[ci] = [
+                    math.floor(dims[p][0] / dims[p][1]) for p in sorted(dims)
+                ]
+
+    c_cells = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        cent_frame(), 1, "neighbor_id",
+    ).withColumnsRenamed({vec_col: "_cv"}).withColumn("_cn", norm(F.col("_cv")))
+    q_cells = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        cent_frame(), n_probe, "query_id",
+    ).withColumnsRenamed({vec_col: "_qv"}).withColumn("_qn", norm(F.col("_qv")))
+
+    scored = (
+        q_cells.join(c_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            _cosine_precomputed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("score", round_digits).alias("score"), "rank",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

@@ -261,6 +261,25 @@ def test_lsh_topk_multiprobe_monotone_recall(vecs):
     assert r3 >= r1
 
 
+def test_ivf_topk_exact_probe_all_equals_brute(vecs):
+    """The deterministic integer-Lloyd's IVF with n_probe = n_cells
+    degenerates to exact brute force — same guarantee as the MLlib
+    variant, but oracle-checkable. Operates on integer-quantized
+    vectors (its documented contract)."""
+    qz = vecs.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+        ).alias("qv"),
+    )
+    full = sim.ivf_topk_exact(qz, qz, k=2, n_cells=2, n_probe=2, iters=2, vec_col="qv")
+    brute = sim.cosine_topk(qz, qz, k=2, vec_col="qv")
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+    # restricted probing returns a subset of some per-query ranking
+    ann = sim.ivf_topk_exact(qz, qz, k=2, n_cells=2, n_probe=1, iters=2, vec_col="qv")
+    assert 0 < ann.count() <= full.count()
+
+
 def test_lsh_probe_buckets_cover_hamming_one(vecs):
     """n_probe=3 with 2 planes must probe the vector's own bucket first
     plus BOTH single-bit flips — the full Hamming-1 neighborhood."""
