@@ -2,7 +2,8 @@
 
 Usage (the north rule's launch mode):
 
-    spark-submit --py-files etl_rs_spark.zip jobs/replay.py \
+    python tools/build_pyfiles.py     # -> dist/etl_rs_spark.zip
+    spark-submit --py-files dist/etl_rs_spark.zip jobs/replay.py \
         --events 10000000 --docs 1000000 --cpus 32 [--mode merge|dataflow]
 
 In-sandbox the same file runs as plain ``python jobs/replay.py`` (the
