@@ -322,6 +322,83 @@ def ivf_topk(
     )
 
 
+def write_lsh_partitioned(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus in the write-time layout the ANN probes
+    want: parquet partitioned by sign-LSH bucket. At 100 TB this is the
+    difference between a probe reading ONE directory and scanning the
+    corpus."""
+    (
+        df.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, dim))
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def lsh_topk_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k against a bucket-partitioned corpus on storage.
+
+    The query batch's probe buckets (own + lowest-margin flips) are
+    collected — O(n_queries * n_probe) ints, never corpus-sized — and
+    pushed into the scan as a partition filter: the parquet source
+    reads ONLY the probed bucket directories (PartitionFilters in the
+    plan, gated in test_plans.py). Results are identical to lsh_topk
+    on the same corpus/parameters."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+        F.explode(
+            lsh_probe_buckets(F.col(vec_col), n_planes, dim, n_probe)
+        ).alias("bucket"),
+    )
+    wanted = sorted({int(r["bucket"]) for r in q.select("bucket").distinct().collect()})
+    c = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(wanted))  # -> partition pruning
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            norm(F.col(vec_col)).alias("_cn"),
+            "bucket",
+        )
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            _cosine_precomputed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("score", round_digits).alias("score"), "rank",
+        )
+    )
+
+
 def ivf_topk_exact(
     queries: DataFrame,
     corpus: DataFrame,

@@ -280,6 +280,18 @@ def test_ivf_topk_exact_probe_all_equals_brute(vecs):
     assert 0 < ann.count() <= full.count()
 
 
+def test_lsh_topk_partitioned_matches_in_memory(spark, vecs, tmp_path):
+    """The bucket-partitioned storage path returns exactly what the
+    in-memory bucket join returns for the same corpus and parameters."""
+    path = str(tmp_path / "lsh_corpus")
+    sim.write_lsh_partitioned(vecs, path, dim=4, n_planes=2)
+    got = sim.lsh_topk_partitioned(
+        spark, path, vecs, dim=4, k=3, n_planes=2, n_probe=2
+    )
+    ref = sim.lsh_topk(vecs, vecs, dim=4, k=3, n_planes=2, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
 def test_lsh_probe_buckets_cover_hamming_one(vecs):
     """n_probe=3 with 2 planes must probe the vector's own bucket first
     plus BOTH single-bit flips — the full Hamming-1 neighborhood."""
