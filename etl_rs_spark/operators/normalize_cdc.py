@@ -25,6 +25,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def valid_flag(df: DataFrame, vocab: int = 50257) -> DataFrame:
+    """Adds ``_valid`` WITHOUT materializing cleaned token arrays:
+    a row is valid iff it is a delete or at least one in-vocab token
+    exists (early-exit F.exists). This is exactly the row set
+    ``normalize_events(...)._valid`` keeps, so LWW can run on raw
+    payloads and the full normalize can wait until after the per-key
+    winners are chosen — the O(events) hot path streams no new arrays."""
+    return df.withColumn(
+        "_valid",
+        (F.col("op") == "delete")
+        | F.exists("tokens", lambda t: (t >= 0) & (t < F.lit(vocab))),
+    )
+
+
 def normalize_events(df: DataFrame, vocab: int = 50257, max_len: int = 2048) -> DataFrame:
     """Native flavor. Adds ``_valid``; callers filter on it (keeping the
     invalid rows observable for lineage counters)."""

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from etl_rs_spark.operators.lww import lww_agg, lww_salted
-from etl_rs_spark.operators.normalize_cdc import normalize_events
+from etl_rs_spark.operators.normalize_cdc import normalize_events, valid_flag
 from etl_rs_spark.sinks.lakehouse import LakehouseTable
 from etl_rs_spark.streaming.schema_evolution import ColumnMapping
 
@@ -87,19 +87,28 @@ def process_batch(
     )
     offsets = {int(r["partition"]): int(r["max_offset"]) for r in per_part}
 
-    norm = normalize_events(events, vocab=cfg.vocab, max_len=cfg.max_len)
+    # Normalize-after-LWW: row validity is just "delete, or at least
+    # one in-vocab token exists" — an early-exit F.exists with NO
+    # cleaned-array materialization. The full normalize (clip, truncate,
+    # recompute n_tok) runs only on the per-key WINNERS (~docs, not
+    # ~events), cutting the memory-streamed bytes of the hot path.
+    # Equivalent to normalize-then-LWW: validity is what decides which
+    # rows compete, and normalize is deterministic per row (final-state
+    # equality pinned by tests/oracle_cdc.py).
+    flagged = valid_flag(events, vocab=cfg.vocab)
     # remaining lineage counters ride ON the merge job itself via
     # Observations — no persist of the full batch, no extra passes.
     obs_norm = obs_win = None
     if cfg.collect_lineage:
         obs_norm = Observation()
-        norm = norm.observe(
+        flagged = flagged.observe(
             obs_norm,
-            F.sum(F.when(~F.col("_valid"), 1).otherwise(0)).alias("invalid"),
+            F.sum(F.when(~F.coalesce(F.col("_valid"), F.lit(False)), 1).otherwise(0)).alias("invalid"),
         )
-    valid = norm.filter("_valid").drop("_valid", "partition")
+    valid = flagged.filter("_valid").drop("_valid", "partition")
     lww = lww_salted if cfg.salted_lww else lww_agg
     winners = lww(valid, key=table.key_col, order=("lsn", "offset"))
+    winners = normalize_events(winners, vocab=cfg.vocab, max_len=cfg.max_len).drop("_valid")
     if cfg.collect_lineage:
         obs_win = Observation()
         winners = winners.observe(

@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from etl_rs_spark.operators.lww import lww_agg
-from etl_rs_spark.operators.normalize_cdc import normalize_events
+from etl_rs_spark.operators.normalize_cdc import normalize_events, valid_flag
 from etl_rs_spark.session import get_spark
 from etl_rs_spark.sinks.lakehouse import LakehouseTable
 from etl_rs_spark.sources.binlog import BinlogSpec, gen_events
@@ -109,19 +109,26 @@ def main() -> None:
             events.write.format("noop").mode("overwrite").save()
             stage_sec["scan"] = round(time.monotonic() - t, 3)
             t = time.monotonic()
-            normalize_events(events).filter("_valid").write.format("noop").mode("overwrite").save()
+            # "normalize" stage = the validity flag (the hot-path
+            # normalize work; full normalize runs post-LWW on winners)
+            valid_flag(events).filter("_valid").write.format("noop").mode("overwrite").save()
             stage_sec["scan_normalize"] = round(time.monotonic() - t, 3)
             t = time.monotonic()
-            norm0 = normalize_events(events).filter("_valid")
-            lww_agg(norm0.drop("_valid"), key="doc_id").write.format("noop").mode("overwrite").save()
+            v0 = valid_flag(events).filter("_valid").drop("_valid")
+            w0 = lww_agg(v0, key="doc_id")
+            normalize_events(w0).drop("_valid").write.format("noop").mode("overwrite").save()
             stage_sec["scan_normalize_lww"] = round(time.monotonic() - t, 3)
 
         t0 = time.monotonic()
         per_partition: list[dict] = []
         lineage: dict = {}
         if args.mode == "dataflow":
-            norm = normalize_events(events).filter("_valid")
-            out = lww_agg(norm.drop("_valid"), key="doc_id")
+            # mirrors process_batch's hot path: validity flag (no array
+            # materialization) -> LWW on raw payloads -> normalize only
+            # the per-key winners
+            valid = valid_flag(events).filter("_valid").drop("_valid")
+            winners = lww_agg(valid, key="doc_id")
+            out = normalize_events(winners).drop("_valid")
             pp = (
                 out.groupBy("partition")
                 .agg(F.count(F.lit(1)).alias("docs"), F.max("offset").alias("max_offset"))
