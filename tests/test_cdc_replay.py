@@ -116,6 +116,34 @@ def test_normalize_flavors_agree(spark, binlog):
     assert canon(native) == canon(pand)
 
 
+def test_valid_flag_matches_normalize_valid(spark, binlog):
+    """valid_flag (the no-materialization hot-path check) must keep
+    exactly the rows normalize_events keeps — on the real binlog AND on
+    adversarial edges (null/empty/all-out-of-vocab token arrays)."""
+    from etl_rs_spark.operators.normalize_cdc import valid_flag
+
+    _, segs, _ = binlog
+    real = spark.read.parquet(*segs)
+    edges = spark.createDataFrame(
+        [
+            ("insert", 1, 0, 1, [1, 2], 2),
+            ("insert", 2, 0, 2, [], 0),
+            ("insert", 3, 0, 3, None, None),
+            ("update", 4, 0, 4, [-5, VOCAB + 7], 2),   # all out-of-vocab
+            ("update", 5, 0, 5, [-5, 0], 2),           # one valid token
+            ("delete", 6, 0, 6, None, None),
+        ],
+        "op string, lsn long, partition int, offset long, tokens array<int>, n_tok int",
+    )
+    for df in (real, edges):
+        cols = ["partition", "offset", "lsn"]
+        a = {tuple(r[c] for c in cols): bool(r["_valid"] or False)
+             for r in valid_flag(df, VOCAB).collect()}
+        b = {tuple(r[c] for c in cols): bool(r["_valid"] or False)
+             for r in normalize_events(df, VOCAB, MAX_LEN).collect()}
+        assert a == b
+
+
 def test_schema_evolution_additive(spark, tmp_path, binlog_evolved=None):
     """Epoch E2 adds a `tag` column mid-stream. Pre-E2 segments are
     physically written WITHOUT the column; the metadata-driven mapping
