@@ -60,8 +60,11 @@ BENCH_QUERIES = [
 SMALL_SF_QUERIES = ["q19_minhash_lsh_pairs"]
 SMALL_SF_DIR = "/root/testdata/sf0.01"
 
-REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "2000000"))
-REPLAY_DOCS = int(os.environ.get("BENCH_REPLAY_DOCS", "200000"))
+# 8M events: at the round-2 merge rate (~0.5-1.1M ev/s) a 2M replay
+# finishes in ~2-4s and JVM/job fixed costs dominate the headline;
+# 8M keeps the measurement in the sustained-rate regime.
+REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "8000000"))
+REPLAY_DOCS = int(os.environ.get("BENCH_REPLAY_DOCS", "800000"))
 
 
 def force(df) -> None:

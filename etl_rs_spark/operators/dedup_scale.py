@@ -14,7 +14,12 @@ record-linkage over business keys; a training-data pipeline also needs
   every stage bit-for-bit (no engine-private hash functions in results).
 
 Shuffle budget per operator is noted in each docstring; everything is
-native Column expressions (whole-stage codegen).
+native Column expressions (JVM-side; scalar chains codegen, the
+higher-order array folds evaluate interpreted — which is why each
+operator folds ALL its hashes in ONE pass and references computed
+array columns a bounded number of times: Catalyst inlines a
+projection's defining expression into every consumer reference, so an
+n-reference consumer pays n recomputes of the md5 token map).
 """
 
 from __future__ import annotations

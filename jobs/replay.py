@@ -105,6 +105,9 @@ def main() -> None:
             # via the noop sink); deltas attribute cost per stage. Run
             # BEFORE the timed replay: they also warm the page cache, so
             # the replay timing below is the steady-state figure.
+            # warm the page cache / JIT first so the FIRST timed stage
+            # doesn't absorb one-off costs the later stages skip
+            events.write.format("noop").mode("overwrite").save()
             t = time.monotonic()
             events.write.format("noop").mode("overwrite").save()
             stage_sec["scan"] = round(time.monotonic() - t, 3)
