@@ -42,6 +42,14 @@ class ReplayConfig:
     salted_lww: bool = False
     salt_buckets: int = 16
     collect_lineage: bool = True
+    #: drop events at-or-below each partition's committed offset before
+    #: merging. ONLY sound when batches arrive in per-partition offset
+    #: order (ordered segment replay, a Kafka tail). A file-based
+    #: stream can split one offset range across triggers — the filter
+    #: would DROP never-merged rows — so replay_stream forces it off
+    #: (the file source's own checkpoint already dedupes delivery, and
+    #: the merge is idempotent under the (lsn, offset) row guard).
+    filter_committed_offsets: bool = True
 
 
 def process_batch(
@@ -60,8 +68,9 @@ def process_batch(
 
     # checkpoint resume: drop events at or below the committed offset of
     # their partition (idempotent MERGE makes this an optimization, but
-    # it also keeps lineage counters exact on resume)
-    committed = table.committed_offsets()
+    # it also keeps lineage counters exact on resume). See
+    # ReplayConfig.filter_committed_offsets for when this is sound.
+    committed = table.committed_offsets() if cfg.filter_committed_offsets else {}
     if committed:
         pairs = [x for p, o in committed.items() for x in (F.lit(p), F.lit(o))]
         cm = F.create_map(*pairs)
@@ -184,7 +193,17 @@ def replay_stream(
     ``sources.kafka.parse_envelope`` when the stream carries
     Kafka-shaped (key, value, headers) rows instead of bare change
     events; the same hook is where a real `format("kafka")` source
-    plugs in (kafka_stream_source -> parse_envelope -> this)."""
+    plugs in (kafka_stream_source -> parse_envelope -> this).
+
+    The committed-offset filter is forced OFF here: a file stream may
+    split one offset range across triggers, and the filter would drop
+    never-merged rows (found by a streaming-vs-batch state diff; the
+    regression is pinned in test_streaming_replay_split_segments).
+    Exactly-once is carried by the source checkpoint (files delivered
+    once) + the batch-key guard + the idempotent (lsn, offset) MERGE."""
+    from dataclasses import replace as _dc_replace
+
+    cfg = _dc_replace(cfg or ReplayConfig(), filter_committed_offsets=False)
     stream = (
         spark.readStream.schema(schema_ddl)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -45,7 +45,11 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--mode", choices=["merge", "dataflow"], default="merge")
+    ap.add_argument(
+        "--mode", choices=["merge", "dataflow", "streaming"], default="merge",
+        help="streaming = Structured Streaming foreachBatch drain over "
+             "segment files (availableNow), exactly-once MERGE per trigger",
+    )
     ap.add_argument("--segments", type=int, default=1, help="replay in N ordered batches")
     ap.add_argument("--salted-lww", action="store_true")
     ap.add_argument("--table-mode", choices=["cow", "mor"], default="cow")
@@ -152,7 +156,31 @@ def main() -> None:
             # fixed so both scaling levels do identical layout work
             table = LakehouseTable(spark, lake_path, n_buckets=32, mode=args.table_mode)
             cfg = ReplayConfig(salted_lww=args.salted_lww)
-            if args.segments <= 1:
+            if args.mode == "streaming":
+                # materialize segment files (untimed), then time the
+                # exactly-once foreachBatch drain incl. checkpointing
+                from etl_rs_spark.sources.binlog import write_segments
+                from etl_rs_spark.streaming.replay import replay_stream
+
+                seg_root = tempfile.mkdtemp(prefix="replay_segs_")
+                n_segs = max(args.segments, 16)
+                write_segments(events, seg_root, n_segs, max_lsn)
+                schema = spark.read.parquet(f"{seg_root}/seg-00000").schema
+                # ~8 micro-batches regardless of file fan-out
+                n_files = sum(
+                    len([f for f in os.listdir(os.path.join(seg_root, d))
+                         if f.endswith(".parquet")])
+                    for d in os.listdir(seg_root) if d.startswith("seg-")
+                )
+                t0 = time.monotonic()
+                q = replay_stream(
+                    spark, table, f"{seg_root}/seg-*",
+                    os.path.join(seg_root, "_ckpt"), schema, cfg=cfg,
+                    max_files_per_trigger=max(1, n_files // 8),
+                )
+                q.awaitTermination()
+                shutil.rmtree(seg_root, ignore_errors=True)
+            elif args.segments <= 1:
                 process_batch(table, events, "replay:bulk", cfg=cfg)
             else:
                 step = (max_lsn + args.segments - 1) // args.segments

@@ -218,6 +218,32 @@ def test_streaming_replay_from_kafka_envelope(spark, tmp_path, binlog, oracle_st
     assert table_state(table.read()) == oracle_state
 
 
+def test_streaming_replay_split_segments(spark, tmp_path, binlog, oracle_state):
+    """REGRESSION: a file stream can split one lsn segment across
+    micro-batches (trigger boundaries fall mid-segment). The
+    committed-offset filter would then drop later files of an already
+    partially-merged offset range — found as a 31k-row divergence at
+    4M events. replay_stream must disable the filter and still
+    reconverge to the oracle state."""
+    path, _, events = binlog
+    # re-write segments with several files each so maxFilesPerTrigger=3
+    # is guaranteed to split segments across triggers
+    df = spark.read.option("mergeSchema", True).parquet(f"{path}/seg-*")
+    seg_root = str(tmp_path / "splitsegs")
+    write_segments(df.repartition(4), seg_root, n_segments=4, max_lsn=SPEC.n_events)
+
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor")
+    schema = spark.read.parquet(f"{seg_root}/seg-00000").schema
+    q = replay_stream(
+        spark, table, f"{seg_root}/seg-*", str(tmp_path / "ckpt"), schema,
+        cfg=CFG, max_files_per_trigger=3,
+    )
+    q.awaitTermination(300)
+    assert table_state(table.read()) == oracle_state
+    lin = table.manifest()["lineage"]
+    assert lin["rows_in"] == len(events)  # nothing silently dropped
+
+
 def test_mor_replay_matches_oracle_and_compacts(spark, tmp_path, binlog, oracle_state):
     """Merge-on-read mode: append-only deltas + read-time LWW resolve
     must yield the same final state as copy-on-write; compaction folds
