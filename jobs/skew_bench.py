@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import shutil
 
 from etl_rs_spark.operators.lww import lww_agg, lww_salted, lww_window
-from etl_rs_spark.operators.normalize_cdc import normalize_events
+from etl_rs_spark.operators.normalize_cdc import valid_flag
 from etl_rs_spark.session import get_spark
 from etl_rs_spark.sinks.lakehouse import LakehouseTable
 from etl_rs_spark.sources.binlog import BinlogSpec, gen_events
@@ -50,7 +50,9 @@ def main() -> None:
                           n_partitions=32, hot_frac=0.00001, hot_share=0.30)
         binlog = os.path.join(tmp, "skewlog")
         gen_events(spark, spec).repartition(64).write.parquet(binlog)
-        norm = normalize_events(spark.read.parquet(binlog)).filter("_valid").drop(
+        # the engine's hot-path shape: validity flag only, LWW on raw
+        # payloads (normalize happens post-LWW on winners)
+        norm = valid_flag(spark.read.parquet(binlog)).filter("_valid").drop(
             "_valid", "partition", "ts"
         )
         noop(lww_agg(norm.limit(100_000), key="doc_id"))  # JIT/codegen warmup
