@@ -371,7 +371,7 @@ def q23_embedding_lsh_buckets(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible (rows-only checks)
+# generated-input / pipeline queries (oracles regenerate the inputs)
 
 def q24_multimodal_features(spark, sf_dir):
     """Binary media plumbing: synth table -> metadata-pruned filter ->
@@ -464,9 +464,10 @@ def q29_transform_email(spark, sf_dir):
 def q30_jdd_normalize(spark, sf_dir):
     """The full JDD normalization pipeline (11 expr + 2 UDF transforms,
     examples/transform_jdd_normalisation.rs:40-52) over synthesized
-    columns at sf scale. Pandas-UDF stages (civilite/telephone/prenom)
-    make this non-SQL-expressible -> rows-only check; semantics are
-    pinned by the reference's golden files in tests/."""
+    columns at sf scale. The pandas-UDF stages (civilite/telephone/
+    prenom) see a CLOSED ENUM of inputs here, so the oracle replays
+    them as hand-derived CASE literals; semantics are pinned by the
+    reference's golden files in tests/."""
     c = _t(spark, sf_dir, "customer")
     n = F.col("c_custkey")
     jdd = c.select(

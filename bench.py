@@ -7,7 +7,8 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
      "queries": {...per-query seconds...}, "sf": 0.1, ...}
 
 The headline metric is the north-rule one: sustained change-events/sec
-through the full CDC path (synthetic binlog -> normalize -> LWW ->
+through the full CDC path (stored binlog -> validity flag -> LWW ->
+normalize winners ->
 exactly-once lakehouse MERGE). Query timings force full execution via
 the noop sink (no driver collect of large results).
 
@@ -91,7 +92,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def bench_replay(spark) -> dict:
-    """North-rule metric: events/sec through normalize -> LWW ->
+    """North-rule metric: events/sec through flag -> LWW -> normalize ->
     exactly-once MERGE, replayed from a STORED binlog (a CDC engine
     reads a log, it doesn't synthesize one — materialization is
     untimed)."""

@@ -11,7 +11,9 @@ session factory ships the package itself). Emits ONE JSON line with
 events/sec plus per-partition throughput / committed offset / lag and
 the lineage counters — the observability surface the north rule names.
 
-``--mode dataflow`` measures normalize -> LWW only (no sink commit);
+``--mode dataflow`` measures flag -> LWW -> normalize-winners (no sink
+commit); ``--mode streaming`` drains segment files via exactly-once
+foreachBatch micro-batches;
 ``--mode merge`` (default) is the full exactly-once path into the
 lakehouse MERGE sink. ``--segments`` replays N segment batches instead
 of one bulk batch (exercises the incremental path).
