@@ -322,6 +322,19 @@ def ivf_topk(
     )
 
 
+def ann_recall(approx: DataFrame, exact: DataFrame) -> float:
+    """Recall of an ANN result against the brute-force truth: the
+    fraction of exact (query_id, neighbor_id) pairs the approximate
+    search recovered. The quality metric the n_probe / n_planes /
+    n_cells knobs trade against cost."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    total = e.count()
+    if total == 0:
+        return 1.0
+    return e.intersect(a).count() / total
+
+
 def write_lsh_partitioned(
     df: DataFrame,
     path: str,

@@ -280,6 +280,34 @@ def test_ivf_topk_exact_probe_all_equals_brute(vecs):
     assert 0 < ann.count() <= full.count()
 
 
+def test_ann_recall_on_real_embeddings(spark):
+    """Quantified quality ladder on the real embeddings fixture: IVF
+    probe-all has recall 1.0 by construction; recall is monotone in
+    n_probe; the 2-of-8-cell configuration (q33's) clears a useful
+    floor."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qz = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+        ).alias("qv"),
+    )
+    queries = qz.filter("vec_id < 20")
+    exact = sim.cosine_topk(queries, qz, k=5, vec_col="qv")
+
+    def ivf(n_probe):
+        return sim.ivf_topk_exact(
+            queries, qz, k=5, n_cells=8, n_probe=n_probe, iters=2, vec_col="qv"
+        )
+
+    r_all = sim.ann_recall(ivf(8), exact)
+    r2 = sim.ann_recall(ivf(2), exact)
+    r1 = sim.ann_recall(ivf(1), exact)
+    assert r_all == 1.0
+    assert r1 <= r2 <= r_all
+    assert r2 >= 0.5  # the q33 configuration recovers most true neighbors
+
+
 def test_lsh_topk_partitioned_matches_in_memory(spark, vecs, tmp_path):
     """The bucket-partitioned storage path returns exactly what the
     in-memory bucket join returns for the same corpus and parameters."""
