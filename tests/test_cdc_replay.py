@@ -14,7 +14,12 @@ from etl_rs_spark.operators.normalize_cdc import (
 )
 from etl_rs_spark.sinks.lakehouse import LakehouseTable
 from etl_rs_spark.sources.binlog import BinlogSpec, gen_events, write_segments
-from etl_rs_spark.streaming.replay import ReplayConfig, replay_segments, replay_stream
+from etl_rs_spark.streaming.replay import (
+    ReplayConfig,
+    process_batch,
+    replay_segments,
+    replay_stream,
+)
 from etl_rs_spark.streaming.schema_evolution import ColumnMapping, MappedColumn
 from tests.oracle_cdc import oracle_replay, table_state
 
@@ -216,6 +221,20 @@ def test_streaming_replay_from_kafka_envelope(spark, tmp_path, binlog, oracle_st
     )
     q.awaitTermination(300)
     assert table_state(table.read()) == oracle_state
+
+
+def test_bulk_replay_matches_oracle(spark, tmp_path, binlog, oracle_state):
+    """The empty-table bulk fast path (no touched-bucket scan, no merge
+    join) must land the same final state as segmented replay — it is
+    the bench headline path, so its correctness is pinned against the
+    oracle directly, in both table modes."""
+    path, _, _ = binlog
+    events = spark.read.option("mergeSchema", True).parquet(f"{path}/seg-*")
+    for mode in ("cow", "mor"):
+        table = LakehouseTable(spark, str(tmp_path / f"t_{mode}"), n_buckets=8, mode=mode)
+        r = process_batch(table, events, "bulk", cfg=CFG)
+        assert not r["skipped"]
+        assert table_state(table.read()) == oracle_state
 
 
 def test_streaming_replay_split_segments(spark, tmp_path, binlog, oracle_state):
