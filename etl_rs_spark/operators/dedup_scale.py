@@ -417,12 +417,16 @@ def ngram_jaccard_pairs(
     )
     # each posting carries its doc's shingle-set size: |A| and |B| then
     # fall out of the SAME pair aggregation (any_value of a per-doc
-    # constant) instead of two extra join-backs to a sizes frame — the
-    # shingle pipeline is computed once per join side (identical
-    # subtrees -> Spark reuses the shuffle exchange), not four times
+    # constant) instead of two extra join-backs to a sizes frame.
+    # explode_OUTER, not explode: plain explode's implicit
+    # `size(arr) > 0` filter gets pushed below the projection and
+    # RE-EVALUATES the whole shingle expression at the scan (verified
+    # in the physical plan) — outer + isnotnull keeps one evaluation
+    # per side and drops the same empty-shingle docs.
     postings = sh.select(
-        F.col(id_col), "_blk", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
-    )
+        F.col(id_col), "_blk", F.size("_sh").alias("_n"),
+        F.explode_outer("_sh").alias("_s"),
+    ).filter(F.col("_s").isNotNull())
     l, r = postings.alias("l"), postings.alias("r")
     return (
         l.join(
