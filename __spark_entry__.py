@@ -413,13 +413,15 @@ def q27_embedding_near_dups(spark, sf_dir):
     """Embedding near-dup pairs (similarity.embedding_near_dup_pairs):
     sign-LSH bucket self-join, exact cosine verify over quantized
     vectors. The 0.3 threshold suits this corpus (max score ~0.4).
-    n_planes=4 is pinned here for the SQL oracle; the scale path
-    derives it from corpus size (n_planes=None -> auto_n_planes) and
-    caps in-bucket pair work with max_bucket_size — both tested in
-    test_training_pipeline_ops.py."""
+    n_planes=6 (64 buckets) applies the operator's own scale remedy —
+    more planes, not bigger buckets — cutting in-bucket pair work ~4x
+    vs 4 planes; the SQL oracle pins the same 6 hyperplanes. The scale
+    path derives the count from corpus size (n_planes=None ->
+    auto_n_planes) and caps in-bucket pair work with max_bucket_size —
+    both tested in test_training_pipeline_ops.py."""
     qz = _quantized(spark, sf_dir)
     return SIM.embedding_near_dup_pairs(
-        qz, dim=64, threshold=0.3, n_planes=4, id_col="vec_id", vec_col="qv"
+        qz, dim=64, threshold=0.3, n_planes=6, id_col="vec_id", vec_col="qv"
     )
 
 
@@ -1102,8 +1104,8 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 50 OFFSET 10
     """
 
-    near_bits = [_hyperplane_bit_sql(j) for j in range(4)]
-    near_bucket = " + ".join(f"{b} * {2 ** (3 - j)}" for j, b in enumerate(near_bits))
+    near_bits = [_hyperplane_bit_sql(j) for j in range(6)]
+    near_bucket = " + ".join(f"{b} * {2 ** (5 - j)}" for j, b in enumerate(near_bits))
     sql["q27_embedding_near_dups"] = f"""
         WITH {_QUANT_CTE},
         bkt AS (
