@@ -223,6 +223,36 @@ def test_streaming_replay_from_kafka_envelope(spark, tmp_path, binlog, oracle_st
     assert table_state(table.read()) == oracle_state
 
 
+def test_streaming_kafka_envelope_with_evolution(spark, tmp_path):
+    """Three features composed: additive schema evolution (tag appears
+    mid-stream) THROUGH the Kafka envelope THROUGH the streaming
+    exactly-once path — final state incl. tags must equal the
+    sequential oracle. Multi-feature seams are where bugs live."""
+    from etl_rs_spark.sources import kafka as K
+
+    spec = BinlogSpec(
+        n_events=2000, n_docs=150, n_partitions=4, vocab=VOCAB,
+        tokens_max=16, seed=7, evolve_from_lsn=1000,
+    )
+    df = gen_events(spark, spec)
+    wire = str(tmp_path / "wire")
+    K.to_kafka_frame(df, "binlog").write.parquet(wire)
+
+    mapping = ColumnMapping.base().evolved(MappedColumn("tag", "tag", "string"))
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor")
+    q = replay_stream(
+        spark, table, wire, str(tmp_path / "ckpt"), K.KAFKA_RAW_SCHEMA,
+        mapping=mapping, cfg=CFG, max_files_per_trigger=5,
+        transform=K.parse_envelope,
+    )
+    q.awaitTermination(300)
+
+    events = [r.asDict() for r in df.collect()]
+    want = oracle_replay(events, VOCAB, MAX_LEN)
+    assert table_state(table.read(), with_tag=True) == want
+    assert any(v["tag"] is not None for v in want.values())  # evolution hit
+
+
 def test_bulk_replay_matches_oracle(spark, tmp_path, binlog, oracle_state):
     """The empty-table bulk fast path (no touched-bucket scan, no merge
     join) must land the same final state as segmented replay — it is
