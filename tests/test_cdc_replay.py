@@ -253,6 +253,21 @@ def test_streaming_kafka_envelope_with_evolution(spark, tmp_path):
     assert any(v["tag"] is not None for v in want.values())  # evolution hit
 
 
+def test_mor_compaction_interleaved_with_replay(spark, tmp_path, binlog, oracle_state):
+    """The operational pattern: background compaction runs BETWEEN
+    incremental batches. Deltas appended after a compaction must still
+    LWW-resolve against the compacted base; final state == oracle."""
+    _, segs, _ = binlog
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor")
+    replay_segments(spark, table, segs[:2], cfg=CFG)
+    table.compact()
+    replay_segments(spark, table, segs[2:], cfg=CFG)
+    assert table_state(table.read()) == oracle_state
+    # a second compaction folds the post-compaction deltas too
+    table.compact()
+    assert table_state(table.read()) == oracle_state
+
+
 def test_bulk_replay_matches_oracle(spark, tmp_path, binlog, oracle_state):
     """The empty-table bulk fast path (no touched-bucket scan, no merge
     join) must land the same final state as segmented replay — it is
