@@ -350,6 +350,21 @@ def test_mor_merge_is_order_insensitive(spark, tmp_path, binlog, oracle_state):
     assert table_state(table.read()) == oracle_state
 
 
+def test_out_of_order_replay_with_filter_disabled(spark, tmp_path, binlog, oracle_state):
+    """Batches replayed in REVERSE order through the full process_batch
+    path reconverge to the oracle state once the committed-offset
+    filter (which assumes ordered delivery) is disabled — in BOTH table
+    modes: the (lsn, offset) row guard (COW) / read-time LWW (MOR) are
+    the actual correctness mechanism, the filter is an ordered-replay
+    optimization."""
+    _, segs, _ = binlog
+    cfg = ReplayConfig(vocab=VOCAB, max_len=MAX_LEN, filter_committed_offsets=False)
+    for mode in ("cow", "mor"):
+        table = LakehouseTable(spark, str(tmp_path / f"t_{mode}"), n_buckets=8, mode=mode)
+        replay_segments(spark, table, list(reversed(segs)), cfg=cfg)
+        assert table_state(table.read()) == oracle_state
+
+
 def test_mor_schema_evolution_in_delta(spark, tmp_path):
     """A new payload column arriving in a LATER MOR delta must widen the
     table additively: older base/delta files read back null-filled, and
