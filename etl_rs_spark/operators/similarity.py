@@ -335,6 +335,11 @@ def ann_recall(approx: DataFrame, exact: DataFrame) -> float:
     return e.intersect(a).count() / total
 
 
+#: layout-metadata sidecar written next to the bucketed parquet (the
+#: leading underscore keeps Spark's file index from treating it as data)
+LSH_META_FILE = "_lsh_meta.json"
+
+
 def write_lsh_partitioned(
     df: DataFrame,
     path: str,
@@ -345,25 +350,47 @@ def write_lsh_partitioned(
     """Materialize the corpus in the write-time layout the ANN probes
     want: parquet partitioned by sign-LSH bucket. At 100 TB this is the
     difference between a probe reading ONE directory and scanning the
-    corpus."""
+    corpus.
+
+    The bucket space (n_planes, dim, vec_col) is recorded in a
+    ``_lsh_meta.json`` sidecar so readers validate against the layout
+    that was actually written instead of re-taking the parameters on
+    faith — a mismatched n_planes would compute probe buckets in a
+    different bucket space and silently return wrong/empty neighbors."""
+    import json
+    import os
+
     (
         df.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, dim))
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(path)
     )
+    with open(os.path.join(path, LSH_META_FILE), "w") as f:
+        json.dump({"n_planes": n_planes, "dim": dim, "vec_col": vec_col}, f)
+
+
+def read_lsh_meta(path: str) -> dict | None:
+    import json
+    import os
+
+    meta_path = os.path.join(path, LSH_META_FILE)
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)
 
 
 def lsh_topk_partitioned(
     spark,
     path: str,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_probe: int = 1,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str | None = None,
     round_digits: int = 6,
 ) -> DataFrame:
     """ANN top-k against a bucket-partitioned corpus on storage.
@@ -373,7 +400,31 @@ def lsh_topk_partitioned(
     pushed into the scan as a partition filter: the parquet source
     reads ONLY the probed bucket directories (PartitionFilters in the
     plan, gated in test_plans.py). Results are identical to lsh_topk
-    on the same corpus/parameters."""
+    on the same corpus/parameters.
+
+    The layout parameters (n_planes, dim, vec_col) default to the
+    ``_lsh_meta.json`` sidecar ``write_lsh_partitioned`` recorded;
+    explicitly passed values are VALIDATED against it — probing a
+    4-plane layout with 5-plane buckets would silently miss every
+    neighbor, so a mismatch raises instead."""
+    meta = read_lsh_meta(path)
+    if meta is not None:
+        for name, passed in (("n_planes", n_planes), ("dim", dim), ("vec_col", vec_col)):
+            if passed is not None and passed != meta[name]:
+                raise ValueError(
+                    f"{name}={passed!r} does not match the written layout "
+                    f"{name}={meta[name]!r} (from {path}/{LSH_META_FILE})"
+                )
+        n_planes = meta["n_planes"]
+        dim = meta["dim"]
+        vec_col = meta["vec_col"]
+    else:
+        if n_planes is None or dim is None:
+            raise ValueError(
+                f"no {LSH_META_FILE} sidecar at {path!r}; pass n_planes and "
+                f"dim explicitly for layouts written by other tools"
+            )
+        vec_col = vec_col or "embedding"
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),

@@ -24,11 +24,26 @@ cleanly when no Iceberg catalog is configured.
 
 from __future__ import annotations
 
+import hashlib
 import json
 
 from pyspark.sql import DataFrame, SparkSession
 
 META_DDL = "_lsn BIGINT, _offset BIGINT, _deleted BOOLEAN"
+
+#: committed-batch ledger cap: the newest N batch keys are retained in
+#: table properties (unbounded growth would bloat every metadata
+#: commit). A batch older than the window re-merges instead of being
+#: skipped — safe, because the row-level (lsn, offset) LWW guard makes
+#: that re-MERGE a no-op; the ledger is an optimization, not the
+#: correctness mechanism.
+COMMITTED_LEDGER_CAP = 256
+
+
+def _sql_str(value: str) -> str:
+    """Escape a value for embedding in a single-quoted SQL literal
+    (Spark SQL doubles embedded single quotes)."""
+    return value.replace("'", "''")
 
 
 def create_table_sql(
@@ -139,13 +154,17 @@ class IcebergTable:
         if self.is_committed(batch_key):
             return {"skipped": True}
         prev = self._props()
-        committed = json.loads(prev.get("replay.committed", "[]")) + [batch_key]
+        committed = (json.loads(prev.get("replay.committed", "[]"))
+                     + [batch_key])[-COMMITTED_LEDGER_CAP:]
         merged_offsets = {int(k): int(v) for k, v in
                           json.loads(prev.get("replay.offsets", "{}")).items()}
         for p, o in (offsets or {}).items():
             merged_offsets[int(p)] = max(merged_offsets.get(int(p), -1), int(o))
 
-        view = f"_merge_src_{abs(hash(batch_key)) % 10 ** 8}"
+        # deterministic view name: Python's hash() is per-process salted
+        # (a restart would compute a different name than the one a
+        # half-finished run registered)
+        view = f"_merge_src_{hashlib.md5(batch_key.encode()).hexdigest()[:16]}"
         changes.createOrReplaceTempView(view)
         cols = [c for c in changes.columns if c != self.key_col]
         # The properties update below is a separate metadata commit from
@@ -159,11 +178,14 @@ class IcebergTable:
         self.spark.sql(merge_sql(self.ident, view, self.key_col, cols))
         if callable(lineage):
             lineage = lineage()
+        # property VALUES are single-quote-escaped: a batch key like
+        # "seg-0'1" must not break (or inject into) the statement
+        offsets_json = json.dumps({str(k): v for k, v in merged_offsets.items()})
         self.spark.sql(
             f"ALTER TABLE {self.ident} SET TBLPROPERTIES ("
-            f"'replay.committed'='{json.dumps(committed)}', "
-            f"'replay.offsets'='{json.dumps({str(k): v for k, v in merged_offsets.items()})}', "
-            f"'replay.lineage'='{json.dumps(lineage or {})}')"
+            f"'replay.committed'='{_sql_str(json.dumps(committed))}', "
+            f"'replay.offsets'='{_sql_str(offsets_json)}', "
+            f"'replay.lineage'='{_sql_str(json.dumps(lineage or {}))}')"
         )
         return {"skipped": False, "batch": batch_key}
 

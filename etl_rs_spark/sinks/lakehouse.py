@@ -7,7 +7,9 @@ parquet + an atomic manifest-swap commit protocol (the shape of an
 Iceberg snapshot commit):
 
 - ``data/v{N}/_bucket={B}/*.parquet`` — immutable data files, hash-
-  bucketed by ``pmod(xxhash64(key), n_buckets)``. A MERGE rewrites ONLY
+  bucketed by ``pmod(murmur3(key), n_buckets)`` (Spark's own shuffle
+  hash — see ``_bucket``; the manifest records the hash family and
+  ``open`` refuses a mismatch). A MERGE rewrites ONLY
   the buckets touched by the batch (Iceberg copy-on-write at bucket
   granularity); untouched buckets keep their existing files.
 - ``_snapshots/v{N}.json`` — the manifest: schema, per-bucket file
@@ -46,6 +48,15 @@ from pyspark.sql.types import StructType
 META_COLS = ["_lsn", "_offset", "_deleted"]
 ENVELOPE_COLS = ["op", "lsn", "offset", "partition", "ts"]
 
+#: the bucket-assignment hash family this code computes. Recorded in the
+#: manifest at table creation and asserted on open: silently changing
+#: the family (as an earlier revision did, xxhash64 -> murmur3) makes
+#: merge() compute touched buckets in a different bucket space than the
+#: persisted files — existing rows for a key sit in an unscanned bucket
+#: and are never LWW-resolved. Refusing the mismatch turns silent
+#: duplicate keys into a loud error.
+BUCKET_HASH = "murmur3-pmod"
+
 
 class LakehouseTable:
     """``mode="cow"`` (copy-on-write, default): a MERGE rewrites every
@@ -79,6 +90,7 @@ class LakehouseTable:
                     "key_col": key_col,
                     "n_buckets": n_buckets,
                     "mode": mode,
+                    "bucket_hash": BUCKET_HASH,
                     "payload_schema": [],  # [name, ddl_type] pairs, additive
                     "buckets": {},
                     "committed": [],
@@ -88,7 +100,19 @@ class LakehouseTable:
                 },
                 version=0,
             )
-        self.mode = self.manifest().get("mode", "cow")
+        man = self.manifest()
+        self.mode = man.get("mode", "cow")
+        # refuse to open a table bucketed under a different hash family —
+        # merging into it would scan the wrong buckets (see BUCKET_HASH).
+        # Manifests predating the field were written by the murmur3 code
+        # lineage, so absence defaults to the current family.
+        persisted = man.get("bucket_hash", BUCKET_HASH)
+        if persisted != BUCKET_HASH:
+            raise ValueError(
+                f"table at {path!r} is bucketed with {persisted!r} but this "
+                f"engine computes {BUCKET_HASH!r}; rewrite the table (read "
+                f"+ recreate) before merging into it"
+            )
 
     # -- manifest plumbing --------------------------------------------------
 
@@ -132,6 +156,29 @@ class LakehouseTable:
         bucketed write below needs NO extra repartition (one full-payload
         shuffle saved per MERGE commit)."""
         return F.pmod(F.hash(col), F.lit(self.n_buckets)).cast("int")
+
+    def _bucket_aligned(self) -> bool:
+        """True when the session's shuffle partition count and n_buckets
+        divide each other — the condition under which an upstream
+        key-shuffle (LWW groupBy / merge join) leaves every bucket's rows
+        co-located in a bounded number of tasks, so the bucketed write
+        needs no extra repartition."""
+        try:
+            sp = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return False
+        return sp % self.n_buckets == 0 or self.n_buckets % sp == 0
+
+    def _bucket_colocated(self, df: DataFrame) -> DataFrame:
+        """The pre-write co-location guard: with an aligned shuffle conf
+        this is a no-op (the fast path — one full-payload shuffle saved
+        per MERGE commit); with Spark's default 200 partitions and 32
+        buckets, every reducer task could otherwise emit a file per
+        bucket (tasks x buckets small files per commit), so misaligned
+        callers pay one repartition on the _bucket column instead."""
+        if self._bucket_aligned():
+            return df
+        return df.repartition(self.n_buckets, F.col("_bucket"))
 
     def _full_schema_ddl(self, man: dict) -> str:
         cols = [f"`{self.key_col}` string"]
@@ -258,15 +305,14 @@ class LakehouseTable:
 
         version = man["version"] + 1
         out_dir = os.path.join(self.path, "data", f"v{version}")
-        # no repartition before the bucketed write: the batch arrives
-        # key-shuffled (LWW agg or merge join), and _bucket is the same
-        # Murmur3 family as that shuffle, so buckets are already
-        # co-located — the dynamic partitionBy sorts within tasks and
-        # emits one file per (task, bucket), typically 1 per bucket.
-        # Worst case (unaligned caller) is more, smaller files per
-        # bucket — still correct; compact() folds them.
+        # aligned shuffle conf -> no repartition before the bucketed
+        # write: the batch arrives key-shuffled (LWW agg or merge join),
+        # and _bucket is the same Murmur3 family as that shuffle, so
+        # buckets are already co-located — the dynamic partitionBy sorts
+        # within tasks and emits ~1 file per bucket. Misaligned callers
+        # get one repartition instead of tasks x buckets small files.
         (
-            merged.write.partitionBy("_bucket")
+            self._bucket_colocated(merged).write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -326,9 +372,10 @@ class LakehouseTable:
         version = man["version"] + 1
         out_dir = os.path.join(self.path, "data", f"v{version}")
         # _resolve's groupBy(key) already co-locates buckets (same
-        # Murmur3 family as _bucket) — write directly, no repartition
+        # Murmur3 family as _bucket) when the shuffle conf is aligned;
+        # otherwise one repartition guards the file count
         (
-            resolved.write.partitionBy("_bucket")
+            self._bucket_colocated(resolved).write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )

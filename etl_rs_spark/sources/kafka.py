@@ -104,21 +104,44 @@ def kafka_reader_options(
     return opts
 
 
+def kafka_batch_options(
+    cfg: KafkaConfig,
+    partition: int,
+    start: int,
+    end: int,
+    n_partitions: int | None = None,
+) -> dict[str, str]:
+    """Option map for a bounded offset-range read of ONE partition.
+
+    Spark's Kafka source requires EVERY TopicPartition of the topic to
+    appear when startingOffsets carries specific offsets, so all
+    ``n_partitions`` are pinned explicitly (``n_partitions`` defaults to
+    enough to cover ``partition``; pass the topic's real partition count
+    on a live cluster). Non-target partitions are pinned to the EMPTY
+    range start==end==0 — an empty range reads nothing, so no data
+    moves for them (-1 in endingOffsets would mean 'latest', i.e. a
+    full read then a client-side filter, not 'none')."""
+    n = n_partitions if n_partitions is not None else partition + 1
+    if partition >= n:
+        raise ValueError(f"partition {partition} outside n_partitions={n}")
+    starting = {p: (start if p == partition else 0) for p in range(n)}
+    ending = {p: (end + 1 if p == partition else 0) for p in range(n)}
+    return kafka_reader_options(cfg, starting, ending)
+
+
 def kafka_batch_source(
     spark: SparkSession,
     cfg: KafkaConfig,
     partition: int,
     start: int,
     end: int,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Bounded offset-range read of ONE partition — the reference's
     read_messages_from_offset_range (end offset exclusive in Kafka;
-    the reference's inclusive `end` maps to end+1). Other partitions
-    are pinned to (-2, -1) = (earliest, none) and filtered by the
-    connector, so no data moves for them."""
-    starting = {p: (start if p == partition else -2) for p in range(partition + 1)}
-    ending = {p: (end + 1 if p == partition else -1) for p in range(partition + 1)}
-    opts = kafka_reader_options(cfg, starting, ending)
+    the reference's inclusive `end` maps to end+1). Offset pinning per
+    ``kafka_batch_options``; the residual filter is belt-and-braces."""
+    opts = kafka_batch_options(cfg, partition, start, end, n_partitions)
     return (
         spark.read.format("kafka").options(**opts).load()
         .filter(F.col("partition") == partition)

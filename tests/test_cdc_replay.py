@@ -394,3 +394,37 @@ def test_mor_schema_evolution_in_delta(spark, tmp_path):
     # compaction folds mixed-schema deltas without losing the new column
     table.compact()
     assert table_state(table.read(), with_tag=True) == want
+
+
+def test_lakehouse_refuses_foreign_bucket_hash(spark, tmp_path):
+    """A table bucketed under a different hash family must refuse to
+    open: merging into it would compute touched buckets in the wrong
+    bucket space and silently never LWW-resolve existing keys."""
+    path = str(tmp_path / "lake")
+    t = LakehouseTable(spark, path, n_buckets=4)
+    man = t.manifest()
+    man["bucket_hash"] = "xxhash64-pmod"
+    man["version"] += 1
+    t._write_manifest(man, man["version"])
+    with pytest.raises(ValueError, match="bucket"):
+        LakehouseTable(spark, path)
+
+
+def test_merge_correct_under_misaligned_shuffle_conf(spark, tmp_path, binlog, oracle_state):
+    """With shuffle partitions and n_buckets NOT dividing each other the
+    sink repartitions on _bucket before the bucketed write (instead of
+    emitting up to tasks x buckets files); the final state is unchanged."""
+    path, segs, _ = binlog
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=4)
+        assert not table._bucket_aligned()
+        replay_segments(spark, table, segs, cfg=CFG)
+        # aligned write would leave <= tasks-per-bucket files; the guard
+        # caps it at ~1 file per bucket even under the misaligned conf
+        man = table.manifest()
+        assert all(len(files) <= 2 for files in man["buckets"].values())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert table_state(table.read()) == oracle_state

@@ -81,13 +81,21 @@ def test_kafka_envelope_round_trip_with_evolution(spark):
 
 
 def test_kafka_batch_source_pins_other_partitions():
-    starting = {p: (50 if p == 2 else -2) for p in range(3)}
-    ending = {p: (61 if p == 2 else -1) for p in range(3)}
-    opts = K.kafka_reader_options(CFG, starting, ending)
+    """ALL topic partitions are pinned (the connector rejects a partial
+    specific-offset map), and non-target partitions get the EMPTY range
+    start==end==0 so they move no data (-1 would mean 'latest' = a full
+    read, not 'none')."""
+    opts = K.kafka_batch_options(CFG, partition=2, start=50, end=60, n_partitions=5)
     s = json.loads(opts["startingOffsets"])["binlog"]
     e = json.loads(opts["endingOffsets"])["binlog"]
-    assert s == {"0": -2, "1": -2, "2": 50}
-    assert e == {"0": -1, "1": -1, "2": 61}
+    assert s == {"0": 0, "1": 0, "2": 50, "3": 0, "4": 0}
+    assert e == {"0": 0, "1": 0, "2": 61, "3": 0, "4": 0}
+    # every partition present in both maps, and n_partitions defaults
+    # to covering the target when the topic size isn't supplied
+    opts2 = K.kafka_batch_options(CFG, partition=1, start=7, end=9)
+    assert json.loads(opts2["startingOffsets"])["binlog"] == {"0": 0, "1": 7}
+    with pytest.raises(ValueError):
+        K.kafka_batch_options(CFG, partition=3, start=0, end=1, n_partitions=2)
 
 
 # -- jdbc -------------------------------------------------------------------

@@ -459,3 +459,18 @@ def test_ivf_topk(spark, vecs):
     ann_pairs = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
     assert ann_pairs  # each query finds same-cell neighbors
     assert (1, 5) in ann_pairs or (5, 1) in ann_pairs  # near-identical pair co-cells
+
+
+def test_lsh_partitioned_sidecar_validates_layout(spark, vecs, tmp_path):
+    """write_lsh_partitioned records (n_planes, dim, vec_col) in a
+    sidecar; the reader defaults to it and REFUSES mismatched explicit
+    parameters — probing a 2-plane layout in a 3-plane bucket space
+    would silently return wrong/empty neighbors."""
+    path = str(tmp_path / "lsh_meta")
+    sim.write_lsh_partitioned(vecs, path, dim=4, n_planes=2)
+    assert sim.read_lsh_meta(path) == {"n_planes": 2, "dim": 4, "vec_col": "embedding"}
+    got = sim.lsh_topk_partitioned(spark, path, vecs, k=3, n_probe=2)  # all from sidecar
+    ref = sim.lsh_topk(vecs, vecs, dim=4, k=3, n_planes=2, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    with pytest.raises(ValueError, match="n_planes"):
+        sim.lsh_topk_partitioned(spark, path, vecs, dim=4, n_planes=3)
