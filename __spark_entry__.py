@@ -11,9 +11,10 @@ Cross-engine exactness strategy (the whole point of this file):
   IEEE multiply + floor is deterministic, integer sums are associative,
   so double-summation-order differences between engines cannot show up;
 - every hash is ``(a*x + b) mod 2^31-1`` over word ids produced by an
-  engine-portable md5-prefix hash (dedup_scale.word_hash — no vocab
-  build, no global sort) — both engines compute identical signatures,
-  fingerprints and LSH buckets;
+  engine-portable 60-bit md5-prefix hash (dedup_scale.word_hash60 — no
+  vocab build, no global sort; universal-hash consumers reduce mod p
+  internally) — both engines compute identical signatures, fingerprints
+  and LSH buckets;
 - embeddings are quantized to ``floor(x*1000)`` ints before dot
   products, making cosine scores bit-identical across engines;
 - float ratios of exact integers are emitted with round(.., 6) on both
@@ -47,9 +48,12 @@ from etl_rs_spark.sources.binlog import (
 P = TX.HASH_P          # 2^31 - 1
 NGRAM_B = 1_000_003    # shingle polynomial base
 KEY_B = 31             # LSH band-key folding base
-CLIP_MAX = P // 2      # q28 vocab-clip bound over hashed word ids
-# word -> id, replicated from dedup_scale.word_hash: md5-prefix mod p
-WORD_HASH_SQL = f"('0x' || substr(md5(w), 1, 15))::BIGINT % {P}"
+CLIP_MAX = 2 ** 59     # q28 vocab-clip bound over 60-bit hashed word ids
+# word -> id, replicated from dedup_scale.word_hash60: the full 60-bit
+# md5 prefix (exact-set membership is collision-free at 10^7+ vocabs);
+# universal-hash consumers (minhash/simhash/shingles) reduce mod p
+# internally, matching the Spark operators.
+WORD_HASH_SQL = "('0x' || substr(md5(w), 1, 15))::BIGINT"
 STOPWORDS = TX.DEFAULT_STOPWORDS
 
 # (a, b) constants for the universal hash family, shared with the SQL
@@ -428,14 +432,18 @@ def q27_embedding_near_dups(spark, sf_dir):
 def q28_normalize_tokens(spark, sf_dir):
     """The input_hint's normalize op cross-checked on an independent
     engine: clip token ids to [0, vocab), truncate to max_len, recompute
-    n_tok (operators/normalize_cdc.py semantics; vocab = p/2 drops
-    ~half the hashed word-id range, exercising the clip arm)."""
+    n_tok (operators/normalize_cdc.py semantics; vocab = 2^59 drops
+    ~half the 60-bit hashed word-id range, exercising the clip arm).
+    sum_tok folds ids mod p so 50 surviving 59-bit ids cannot overflow
+    a bigint sum (both engines fold identically)."""
     wi = _doc_word_ids(spark, sf_dir)
     cleaned = F.slice(F.filter("word_ids", lambda t: t < CLIP_MAX), 1, 50)
     return wi.select(
         "doc_id",
         F.size(cleaned).alias("n_tok"),
-        F.aggregate(cleaned, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_tok"),
+        F.aggregate(
+            cleaned, F.lit(0).cast("bigint"), lambda a, x: a + x % F.lit(P)
+        ).alias("sum_tok"),
         F.when(F.size(cleaned) > 0, F.element_at(cleaned, 1)).alias("first_tok"),
     )
 
@@ -634,14 +642,17 @@ quant AS (
 
 
 def _minhash_sql_terms(n: int, src: str = "word_id") -> list[str]:
+    # (src % P) first: ids are 60-bit, a * (x % p) stays in BIGINT and
+    # matches dedup_scale._mod_p's internal reduction exactly
     return [
-        f"min(({src} * {HP[i][0]} + {HP[i][1]}) % {P}) AS m{i}" for i in range(n)
+        f"min((({src} % {P}) * {HP[i][0]} + {HP[i][1]}) % {P}) AS m{i}"
+        for i in range(n)
     ]
 
 
 def _simhash_sql(bits: int) -> str:
     votes = [
-        f"sum(CASE WHEN ((word_id * {HP[j][0]} + {HP[j][1]}) % {P}) % 2 = 1 "
+        f"sum(CASE WHEN (((word_id % {P}) * {HP[j][0]} + {HP[j][1]}) % {P}) % 2 = 1 "
         f"THEN 1 ELSE -1 END)"
         for j in range(bits)
     ]
@@ -1055,7 +1066,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, lang,
                  list_distinct(list_transform(
                    range(1, greatest(len(wid) - 2, 0) + 1),
-                   i -> (((wid[i] * {NGRAM_B} + wid[i+1]) % {P}) * {NGRAM_B} + wid[i+2]) % {P}
+                   i -> ((((wid[i] % {P}) * {NGRAM_B} + wid[i+1]) % {P}) * {NGRAM_B} + wid[i+2]) % {P}
                  )) AS shing
           FROM ids
         )
@@ -1131,7 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id,
                len(ct) AS n_tok,
-               CAST(coalesce(list_sum(ct), 0) AS BIGINT) AS sum_tok,
+               CAST(coalesce(list_sum(list_transform(ct, t -> t % {P})), 0) AS BIGINT) AS sum_tok,
                CASE WHEN len(ct) > 0 THEN ct[1] END AS first_tok
         FROM cleaned
     """

@@ -98,27 +98,43 @@ def dedup_digest_stats(
 # ---------------------------------------------------------------------------
 # word -> id mapping for arithmetic hashing. Two paths:
 #
-# - word_hash / doc_word_ids_hashed: the SCALE path and the default for
-#   every contract query. id = md5-prefix of the word, mod p — no vocab
-#   build, no join, no shuffle, and exactly reproducible in ANSI SQL
-#   (DuckDB: ('0x' || substr(md5(w),1,15))::BIGINT % p), so the oracles
-#   stay bit-exact. Collision odds over a vocab V are ~|V|^2/2p
-#   (~2e-2 at 10^4 words, and identical in both engines when they do
-#   occur, so parity is unaffected).
+# - word_hash60 / doc_word_ids_hashed: the SCALE path and the default
+#   for every contract query. id = first 60 bits of md5(word) — no
+#   vocab build, no join, no shuffle, and exactly reproducible in ANSI
+#   SQL (DuckDB: ('0x' || substr(md5(w),1,15))::BIGINT), so the oracles
+#   stay bit-exact. At 60 bits a 10^7-word vocabulary expects ~5e-5
+#   collisions (vs ~2e4 under the old mod-2^31-1 residues) — exact-set
+#   Jaccard is undistorted at web-scale vocabularies. Consumers that
+#   need the universal-hash domain [0, p) (minhash, simhash, shingle
+#   folds) reduce mod p INTERNALLY — their outputs are unchanged,
+#   because (x mod p) of the 60-bit id equals the old mod-p id.
 # - word_id_map / doc_word_ids: dense lexicographic-rank vocabulary.
 #   Kept for tests that want ids in [1, |V|]; its rank window is a
 #   single-partition global sort, so it must never appear in a scale
 #   pipeline (test_plans.py gates contract queries against it).
 
-def word_hash(col: Column) -> Column:
-    """Word -> bigint id in [0, p): first 60 bits of md5(utf8(word)),
-    mod p. Engine-portable: DuckDB computes the identical value with
-    ``('0x' || substr(md5(w), 1, 15))::BIGINT % p``. Pure codegen
-    expression — no vocab, no join, no shuffle."""
+def word_hash60(col: Column) -> Column:
+    """Word -> bigint id in [0, 2^60): first 15 hex chars of
+    md5(utf8(word)). Engine-portable: DuckDB computes the identical
+    value with ``('0x' || substr(md5(w), 1, 15))::BIGINT``. Pure
+    codegen expression — no vocab, no join, no shuffle."""
     return (
         F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10)
-        .cast("bigint") % F.lit(HASH_P)
+        .cast("bigint")
     )
+
+
+def word_hash(col: Column) -> Column:
+    """The 60-bit id reduced to the universal-hash domain [0, p) —
+    for callers that feed (a*x + b) mod p families directly."""
+    return word_hash60(col) % F.lit(HASH_P)
+
+
+def _mod_p(x: Column) -> Column:
+    """Reduce a (possibly 60-bit) word id into the universal-hash
+    domain. Keeps (a*x + b) products inside bigint: a < p ~ 2^31, so
+    a * (x mod p) <= 2^62."""
+    return x % F.lit(HASH_P)
 
 
 def doc_word_ids_hashed(
@@ -128,11 +144,11 @@ def doc_word_ids_hashed(
     out_col: str = "word_ids",
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Map each doc to its ordered array of hashed word ids — the
-    no-vocab scale path. A single narrow projection: zero shuffles,
+    """Map each doc to its ordered array of 60-bit hashed word ids —
+    the no-vocab scale path. A single narrow projection: zero shuffles,
     zero joins, embarrassingly parallel at any corpus size."""
     return df.select(
-        id_col, *extra_cols, F.transform(words(text_col), word_hash).alias(out_col)
+        id_col, *extra_cols, F.transform(words(text_col), word_hash60).alias(out_col)
     )
 
 
@@ -191,7 +207,9 @@ def minhash_signature(
     init = F.array_repeat(F.lit(HASH_P).cast("bigint"), n_hashes)
 
     def step(acc: Column, x: Column) -> Column:
-        hashes = F.array(*[(x * a + b) % F.lit(HASH_P) for a, b in params])
+        # reduce 60-bit ids into the hash domain first — values are
+        # unchanged for ids already < p, and a * (x % p) stays in bigint
+        hashes = F.array(*[(_mod_p(x) * a + b) % F.lit(HASH_P) for a, b in params])
         return F.zip_with(acc, hashes, lambda m, h: F.least(m, h))
 
     sig = F.aggregate(distinct, init, step)
@@ -292,7 +310,7 @@ def simhash(word_ids: Column, bits: int = 16) -> Column:
     def step(acc: Column, x: Column) -> Column:
         word_votes = F.array(
             *[
-                F.when(((x * a + b) % F.lit(HASH_P)) % 2 == 1, F.lit(1))
+                F.when(((_mod_p(x) * a + b) % F.lit(HASH_P)) % 2 == 1, F.lit(1))
                 .otherwise(F.lit(-1))
                 .cast("bigint")
                 for a, b in params
@@ -308,35 +326,91 @@ def simhash(word_ids: Column, bits: int = 16) -> Column:
     return F.aggregate(bits_set, F.lit(0).cast("bigint"), lambda a, x: a + x)
 
 
+def auto_simhash_bits(
+    n_docs: int,
+    max_hamming: int = 2,
+    target_bucket_size: int = 1024,
+    min_band_bits: int = 5,
+) -> int:
+    """Fingerprint width that keeps band buckets from going quadratic
+    as the corpus grows: with (max_hamming+1) pigeonhole bands, each
+    band key must span ~n_docs/target_bucket_size distinct values, so
+    band_bits = log2(n/target) and bits = n_bands * band_bits (capped
+    at 62 so the fingerprint stays one non-negative bigint). A fixed
+    16-bit fingerprint with max_hamming=2 gives 5-bit band keys = 32
+    buckets — O(n^2/32) in-band pairs at any corpus size; this derives
+    the width the same way auto_n_planes does for embedding LSH."""
+    import math
+
+    n_bands = max_hamming + 1
+    band_bits = max(
+        min_band_bits,
+        math.ceil(math.log2(max(n_docs, 2) / target_bucket_size))
+        if n_docs > target_bucket_size
+        else min_band_bits,
+    )
+    band_bits = min(band_bits, 62 // n_bands)
+    return n_bands * band_bits
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     word_ids_col: str = "word_ids",
-    bits: int = 16,
+    bits: int | None = None,
     max_hamming: int = 2,
+    max_bucket_size: int | None = None,
+    target_bucket_size: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Blocking: split the fingerprint into (max_hamming+1) bit-bands —
     by pigeonhole any pair within distance d agrees on >= 1 band, so an
     equi join per band finds all true pairs without a cross join.
+
+    Scale controls (the same remedies as embedding_near_dup_pairs):
+    ``bits=None`` derives the fingerprint width from the corpus size
+    (auto_simhash_bits, one cheap count job) so band-bucket occupancy
+    stays ~constant as the corpus grows; ``max_bucket_size`` excludes
+    over-full (band, key) buckets from pairing entirely — bounded
+    worst case under adversarial skew (a mega-bucket means the
+    fingerprint under-splits; raise bits rather than pay O(k^2)). A
+    pair sharing ONLY a capped band can be missed — the documented
+    recall trade every web-scale dedup blocker makes.
+
+    All bit algebra is shift/mask arithmetic (no doubles): exact up to
+    the full 62-bit fingerprint a bigint can hold non-negatively.
     """
+    if bits is None:
+        bits = auto_simhash_bits(docs.count(), max_hamming, target_bucket_size)
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     fp = simhash(F.col(word_ids_col), bits)
     with_fp = docs.select(F.col(id_col), fp.alias("_fp"))
 
+    # top bits beyond n_bands*band_bits (bits not divisible by n_bands)
+    # join no band: the pigeonhole guarantee is unaffected — differing
+    # uncovered bits leave every band key untouched, so a <=max_hamming
+    # pair still agrees on >= 1 band.
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
-            ((F.col("_fp") / F.lit(2 ** (bi * band_bits))).cast("bigint")
-             % F.lit(2 ** band_bits)).alias("key"),
+            (F.shiftright(F.col("_fp"), bi * band_bits)
+             % F.lit(2 ** band_bits).cast("bigint")).alias("key"),
         )
         for bi in range(n_bands)
     ]
     banded = with_fp.select(
         id_col, "_fp", F.explode(F.array(*band_structs)).alias("_b")
     ).select(id_col, "_fp", F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bsize", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsize") <= max_bucket_size)
+            .drop("_bsize")
+        )
 
     l, r = banded.alias("l"), banded.alias("r")
     hamming = _popcount_bigint(F.col("l._fp").bitwiseXOR(F.col("r._fp")), bits)
@@ -358,11 +432,10 @@ def simhash_pairs(
 
 
 def _popcount_bigint(col: Column, bits: int) -> Column:
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0),
-        lambda acc, j: acc + ((col / F.pow(F.lit(2), j).cast("bigint")).cast("bigint") % 2).cast("int"),
-    )
+    """Popcount via the JVM's Long.bitCount — exact for the full 62-bit
+    fingerprint range (the old pow(2, j) double division broke above
+    2^53) and whole-stage-codegen'd, not an interpreted array fold."""
+    return F.bit_count(col).cast("int")
 
 
 # ---------------------------------------------------------------------------
@@ -379,7 +452,12 @@ def ngram_shingles(word_ids: Column, n: int = 3) -> Column:
     re-evaluates the whole md5 token map per shingle per offset (~150x
     blowup measured); the slice/zip form references the array exactly n
     times. greatest(m, 0) guards k < n (Spark's sequence(1, 0) steps
-    BACKWARDS, and a negative slice length errors under ANSI)."""
+    BACKWARDS, and a negative slice length errors under ANSI).
+
+    60-bit word ids are safe here without pre-reduction: acc < p ~2^31,
+    so acc*B + w <= 2^51 + 2^60 stays in bigint, and (acc*B + w) mod p
+    equals (acc*B + (w mod p)) mod p — shingle values are identical to
+    the old mod-p-id pipeline."""
     B = 1_000_003
     m = F.size(word_ids) - (n - 1)
     slices = [
@@ -398,6 +476,7 @@ def ngram_jaccard_pairs(
     word_ids_col: str = "word_ids",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard pairs within blocking groups via an inverted
     index (sparse similarity join).
@@ -409,7 +488,18 @@ def ngram_jaccard_pairs(
     a count per pair. |union| = |A| + |B| - |inter|. Identical result
     set (a pair sharing zero shingles has jaccard 0 < threshold), but
     the shuffle key is the shingle — the plan a similarity join should
-    have at 100 TB. Blocking (e.g. lang) stays in the join key."""
+    have at 100 TB. Blocking (e.g. lang) stays in the join key.
+
+    ``max_doc_freq`` is the stop-shingle rule of web-scale dedup: a
+    boilerplate shingle shared by k documents (license headers, nav
+    chrome) contributes k^2 rows to the postings self-join, so postings
+    whose per-(block, shingle) document frequency exceeds the cap are
+    dropped BEFORE the join. The trade is bounded and one-sided:
+    |intersection| can only shrink (denominators |A|, |B| are computed
+    before the cut), so reported jaccard never inflates — a pair whose
+    overlap is mostly stop-shingles may fall below threshold (recall
+    loss on boilerplate-dominated pairs, the standard accepted loss);
+    no false pairs are ever added."""
     sh = docs.select(
         F.col(id_col),
         F.col(blocking_col).alias("_blk"),
@@ -427,6 +517,16 @@ def ngram_jaccard_pairs(
         F.col(id_col), "_blk", F.size("_sh").alias("_n"),
         F.explode_outer("_sh").alias("_s"),
     ).filter(F.col("_s").isNotNull())
+    if max_doc_freq is not None:
+        # document frequency per (block, shingle) — shingles are distinct
+        # per doc, so the window count IS the df. One extra pass over the
+        # postings (already shuffled small rows), never over content.
+        w = Window.partitionBy("_blk", "_s")
+        postings = (
+            postings.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     l, r = postings.alias("l"), postings.alias("r")
     return (
         l.join(

@@ -474,3 +474,95 @@ def test_lsh_partitioned_sidecar_validates_layout(spark, vecs, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
     with pytest.raises(ValueError, match="n_planes"):
         sim.lsh_topk_partitioned(spark, path, vecs, dim=4, n_planes=3)
+
+
+# -- simhash scale controls -------------------------------------------------
+
+def test_auto_simhash_bits_tracks_corpus_size():
+    """Band width grows with the corpus (constant expected bucket
+    occupancy) and the fingerprint stays within one bigint."""
+    assert ds.auto_simhash_bits(100, max_hamming=2) == 15          # floor: 5-bit bands
+    assert ds.auto_simhash_bits(10**6, max_hamming=2) == 30        # ceil(log2(1e6/1024))=10
+    assert ds.auto_simhash_bits(10**9, max_hamming=2) == 60        # 20-bit bands
+    assert ds.auto_simhash_bits(2**70, max_hamming=2) == 60        # capped at 62//3*3
+    assert ds.auto_simhash_bits(10**9, max_hamming=3) == 60        # 4 bands x 15
+
+
+def test_simhash_pairs_auto_bits_matches_brute_force(spark):
+    """Pigeonhole completeness at the derived band layout: banded pairs
+    == brute-force Hamming<=d pairs over the same (wide) fingerprints.
+    Exercises shift/mask band keys and bit_count above 2^53."""
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", [(i * 7 + j * 13) % 50 + 1 for j in range(12)])
+         for i in range(40)],
+        "doc_id string, word_ids array<bigint>",
+    )
+    bits = 60  # force the wide-fingerprint arithmetic
+    got = {
+        (r["id_l"], r["id_r"]): r["hamming"]
+        for r in ds.simhash_pairs(docs, bits=bits, max_hamming=8).collect()
+    }
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", ds.simhash(F.col("word_ids"), bits).alias("fp")
+        ).collect()
+    }
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 8:
+                want[(a, b)] = h
+    assert got == want
+    assert any(f > 2**53 for f in fps.values())  # wide range actually hit
+
+
+def test_simhash_bucket_cap_bounds_skewed_buckets(spark):
+    """Adversarial skew: identical docs collapse into one (band, key)
+    bucket per band. max_bucket_size excludes the mega-buckets from
+    pairing entirely — bounded work instead of O(k^2) — and leaves
+    under-cap buckets untouched."""
+    rows = [(f"s{i:02d}", [1, 2, 3, 4]) for i in range(30)]          # one mega-cluster
+    rows += [("u1", [5, 6, 7, 8]), ("u2", [5, 6, 7, 8])]             # small cluster
+    docs = spark.createDataFrame(rows, "doc_id string, word_ids array<bigint>")
+    uncapped = ds.simhash_pairs(docs, bits=30, max_hamming=2)
+    capped = ds.simhash_pairs(docs, bits=30, max_hamming=2, max_bucket_size=5)
+    assert uncapped.count() == 30 * 29 // 2 + 1
+    got = {(r["id_l"], r["id_r"]) for r in capped.collect()}
+    assert got == {("u1", "u2")}  # mega-bucket dropped, small cluster kept
+
+
+def test_ngram_hot_shingle_cap_bounds_join_rows(spark):
+    """One boilerplate 3-gram shared by every doc ('the common header')
+    makes the postings self-join O(n^2); capping per-(block, shingle)
+    document frequency removes those postings BEFORE the join while
+    keeping true near-dup pairs whose overlap is real content."""
+    n_docs = 40
+    header = [901, 902, 903]  # the boilerplate shingle source
+    rows = [(f"b{i:02d}", header + [i * 10 + 1, i * 10 + 2, i * 10 + 3, i * 10 + 4])
+            for i in range(n_docs)]
+    # one genuine near-dup pair sharing all its content shingles
+    rows += [("dupA", header + [501, 502, 503, 504, 505]),
+             ("dupB", header + [501, 502, 503, 504, 505])]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, word_ids array<bigint>"
+    ).withColumn("lang", F.lit("en"))
+
+    capped = ds.ngram_jaccard_pairs(
+        docs, blocking_col="lang", n=3, threshold=0.5, max_doc_freq=5
+    )
+    got = {(r["id_l"], r["id_r"]): r["jaccard"] for r in capped.collect()}
+    # dupA/dupB share 5 of their 5 surviving shingles (header 3-grams
+    # cut); every boilerplate-only pair is gone from the join entirely
+    assert set(got) == {("dupA", "dupB")}
+
+    # join-row bound, measured on the operator's own posting construction:
+    # sum of c^2 over (block, shingle) doc-frequencies c <= cap
+    sh = docs.select(
+        "lang", ds.ngram_shingles(F.col("word_ids"), 3).alias("_sh")
+    ).select("lang", F.explode("_sh").alias("_s"))
+    dfreq = [r["c"] for r in sh.groupBy("lang", "_s").agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert sum(c * c for c in dfreq) > n_docs * n_docs          # uncapped blow-up exists
+    assert sum(c * c for c in dfreq if c <= 5) < 10 * n_docs    # capped join is linear-ish
