@@ -393,6 +393,25 @@ def q24_multimodal_features(spark, sf_dir):
     )
 
 
+def q24b_multimodal_decode(spark, sf_dir):
+    """REAL container decode under the driver gate: synth table with
+    genuine PCM16-WAV and binary-PPM payloads -> metadata-pruned filter
+    to exactly those mimes -> Arrow-batched decode_wav/decode_ppm
+    (operators/multimodal.decoded_stats — no stub path exists on this
+    route) -> integer stats per mime. Payload generators are pure
+    integer arithmetic (seeded ramps), so the DuckDB oracle regenerates
+    every decoded sample/pixel value and the sums match exactly."""
+    media = MM.synth_media(spark, 200, hash_mode="portable", include_ppm=True)
+    stats = MM.extract_decoded_stats(
+        MM.filter_media_metadata(media, mimes=("audio/wav", "image/ppm"))
+    )
+    return stats.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_values").alias("sum_n_values"),
+        F.sum("sum_values").alias("sum_values"),
+    )
+
+
 def q25_cdc_replay_state(spark, sf_dir):
     """End-to-end CDC core on the synthetic binlog: generate ordered
     change events (dup deliveries + wrong n_tok + out-of-vocab tokens),
@@ -600,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_cosine_topk": q22_cosine_topk,
         "q23_embedding_lsh_buckets": q23_embedding_lsh_buckets,
         "q24_multimodal_features": q24_multimodal_features,
+        "q24b_multimodal_decode": q24b_multimodal_decode,
         "q25_cdc_replay_state": q25_cdc_replay_state,
         "q26_filter_dsl_list": q26_filter_dsl_list,
         "q27_embedding_near_dups": q27_embedding_near_dups,
@@ -1254,6 +1274,41 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n,
                CAST(count(*) * 439 AS BIGINT) AS sum_f0_milli
         FROM m WHERE mi IN (0, 1) GROUP BY 1
+    """
+
+    # q24b: regenerate the 4-mime portable mime rotation and replay the
+    # REAL decoders analytically: the WAV payload is the int16 ramp
+    # ((id*2654435761 + k*40503) % 65536) - 32768 over n = 64 + id%64
+    # samples (multimodal._synth_wav) and the PPM raster is the byte
+    # ramp (id*2654435761 + idx*97) % 256 over (4+id%5)x(3+id%4)x3
+    # bytes (_synth_ppm) — decode_wav/decode_ppm recover exactly these
+    # integers, so the sums match bit-for-bit.
+    sql["q24b_multimodal_decode"] = f"""
+        WITH m AS (
+          SELECT CAST(r.range AS BIGINT) AS id,
+                 ((CAST({q24_pref} AS BIGINT) * {PORTABLE_B} + r.range) % {P}) % 4 AS mi
+          FROM range(200) r
+        ),
+        wav AS (
+          SELECT id, 'audio/wav' AS mime,
+                 64 + id % 64 AS nv,
+                 CAST(list_sum(list_transform(range(0, CAST(64 + id % 64 AS INTEGER)),
+                      k -> (id * 2654435761 + k * 40503) % 65536 - 32768)) AS BIGINT) AS sv
+          FROM m WHERE mi = 2
+        ),
+        ppm AS (
+          SELECT id, 'image/ppm' AS mime,
+                 (4 + id % 5) * (3 + id % 4) * 3 AS nv,
+                 CAST(list_sum(list_transform(
+                      range(0, CAST((4 + id % 5) * (3 + id % 4) * 3 AS INTEGER)),
+                      k -> (id * 2654435761 + k * 97) % 256)) AS BIGINT) AS sv
+          FROM m WHERE mi = 3
+        )
+        SELECT mime, count(*) AS n,
+               CAST(sum(nv) AS BIGINT) AS sum_n_values,
+               CAST(sum(sv) AS BIGINT) AS sum_values
+        FROM (SELECT * FROM wav UNION ALL SELECT * FROM ppm)
+        GROUP BY mime
     """
 
     # q30: the synthesized JDD inputs form a CLOSED ENUM for every

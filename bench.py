@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "q16_doc_fingerprint", "q17_dedup_exact", "q18_minhash_signatures",
     "q20_simhash", "q21_ngram_jaccard_pairs", "q22_cosine_topk",
     "q23_embedding_lsh_buckets", "q24_multimodal_features",
+    "q24b_multimodal_decode",
     "q25_cdc_replay_state", "q26_filter_dsl_list",
     "q27_embedding_near_dups", "q28_normalize_tokens",
     "q29_transform_email", "q30_jdd_normalize",

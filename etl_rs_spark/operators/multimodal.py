@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     BinaryType,
     FloatType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -68,27 +69,43 @@ def _synth_wav(media_id: int) -> bytes:
     return encode_wav(samples.astype(np.int16))
 
 
+def _synth_ppm(media_id: int) -> bytes:
+    """Deterministic REAL binary-PPM (P6) payload: a seeded byte ramp
+    over a small (4-8)x(3-6) RGB raster. Pure integer arithmetic, so a
+    SQL oracle regenerates every decoded pixel value exactly."""
+    w = 4 + media_id % 5
+    h = 3 + media_id % 4
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    pix = ((media_id * 2654435761 + idx * 97) % 256).astype(np.uint8)
+    return encode_ppm(pix.reshape(h, w, 3))
+
+
 def synth_media(
     spark: SparkSession, n: int, seed: int = 42, partitions: int = 8,
-    hash_mode: str = "xxhash64",
+    hash_mode: str = "xxhash64", include_ppm: bool = False,
 ) -> DataFrame:
     """Deterministic fake media table. audio/wav rows carry a REAL
-    PCM16 WAV container (Arrow-batched UDF encode); png/jpeg rows carry
-    opaque seeded bytes (their codecs are the honest stub). Generated
-    distributed from spark.range — no driver materialization. Small test
-    fixtures default to 8 partitions so a tiny table doesn't spin up one
-    Python worker per core.
+    PCM16 WAV container (Arrow-batched UDF encode) and — with
+    ``include_ppm=True`` — image/ppm rows carry a REAL binary-PPM
+    raster; png/jpeg rows carry opaque seeded bytes (their codecs are
+    the honest stub). Generated distributed from spark.range — no
+    driver materialization. Small test fixtures default to 8 partitions
+    so a tiny table doesn't spin up one Python worker per core.
 
     ``hash_mode="portable"`` assigns mime/width/height via the binlog's
     polynomial fold hash (sources.binlog._fold) so a SQL oracle can
     regenerate the table exactly — the same trick as
-    BinlogSpec.hash_mode."""
+    BinlogSpec.hash_mode. ``include_ppm`` rotates over 4 mimes instead
+    of 3 (kept opt-in so the 3-mime oracle replay stays byte-stable)."""
     from pyspark.sql.types import BinaryType as _Bin
 
     from etl_rs_spark.sources.binlog import _fold, portable_salt
 
     wav_udf = F.pandas_udf(
         lambda ids: ids.map(lambda i: _synth_wav(int(i))), _Bin()
+    )
+    ppm_udf = F.pandas_udf(
+        lambda ids: ids.map(lambda i: _synth_ppm(int(i))), _Bin()
     )
 
     def H(salt: str) -> F.Column:
@@ -102,16 +119,23 @@ def synth_media(
         if hash_mode == "portable"
         else F.xxhash64("id", F.lit(seed))
     )
-    mimes = F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("audio/wav"))
+    mime_list = ["image/png", "image/jpeg", "audio/wav"] + (
+        ["image/ppm"] if include_ppm else []
+    )
+    mimes = F.array(*[F.lit(m) for m in mime_list])
     df = (
         spark.range(0, n, 1, numPartitions=min(partitions, max(1, n // 8) or 1))
         .withColumn("media_id", F.format_string("m-%08d", F.col("id")))
-        .withColumn("mime", F.element_at(mimes, (F.pmod(mime_h, F.lit(3)) + 1).cast("int")))
+        .withColumn(
+            "mime",
+            F.element_at(mimes, (F.pmod(mime_h, F.lit(len(mime_list))) + 1).cast("int")),
+        )
         .withColumn("width", (F.pmod(H("w"), F.lit(512)) + 16).cast("int"))
         .withColumn("height", (F.pmod(H("h"), F.lit(512)) + 16).cast("int"))
         .withColumn(
             "payload",
             F.when(F.col("mime") == "audio/wav", wav_udf(F.col("id")))
+            .when(F.col("mime") == "image/ppm", ppm_udf(F.col("id")))
             .otherwise(F.encode(F.format_string("payload-%d", F.col("id")), "utf-8")),
         )
         .withColumn("n_bytes", F.length("payload").cast("int"))
@@ -269,6 +293,56 @@ def extract_features(
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+DECODED_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("mime", StringType()),
+        StructField("n_values", IntegerType()),
+        StructField("sum_values", LongType()),
+    ]
+)
+
+
+def decoded_stats(payload: bytes, mime: str) -> tuple[int, int]:
+    """Integer summary of a REAL decode — no stub path exists here.
+    WAV: (n_samples, sum of int16 samples) via decode_wav (the float
+    samples are exact k/32768 rationals, so rint(x*32768) recovers the
+    raw PCM losslessly); PPM: (n_bytes, sum of pixel bytes) via
+    decode_ppm. Integer stats, so a SQL oracle replays them exactly
+    with no float-summation-order concerns."""
+    if mime == "audio/wav":
+        samples, _rate = decode_wav(payload)
+        ints = np.rint(samples * 32768.0).astype(np.int64)
+        return int(ints.size), int(ints.sum())
+    if mime in ("image/ppm", "image/x-portable-pixmap"):
+        px = decode_ppm(payload).astype(np.int64)
+        return int(px.size), int(px.sum())
+    raise ValueError(f"no real codec for {mime!r} — decoded_stats never stubs")
+
+
+def extract_decoded_stats(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL-decode stats over the binary payload
+    (mapInPandas, same batch shape as extract_features). Strict by
+    construction: a mime without a real codec raises — this is the
+    path that proves the container parsers run end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [
+                decoded_stats(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_values": [s[0] for s in stats],
+                    "sum_values": [s[1] for s in stats],
+                }
+            )
+
+    return df.mapInPandas(run, DECODED_STATS_SCHEMA)
 
 
 def frame_sample_plan(

@@ -170,3 +170,31 @@ def test_iceberg_table_requires_catalog(spark):
 
     with pytest.raises(RuntimeError, match="no Iceberg catalog"):
         I.IcebergTable(spark, "nocat.db.t")
+
+
+# -- mongo ------------------------------------------------------------------
+
+def test_mongo_writer_options_and_modes(spark):
+    from etl_rs_spark.sinks.mongo import MongoConfig, MongoSink, mongo_writer_options
+
+    cfg = MongoConfig(host="db", port=27017, database="etl", collection="jdd",
+                      user="u@x", password="p:w@d")
+    # credentials percent-escaped so '@'/':' can't split the authority
+    assert cfg.uri == "mongodb://u%40x:p%3Aw%40d@db:27017/"
+    opts = mongo_writer_options(cfg)
+    assert opts == {"connection.uri": cfg.uri, "database": "etl", "collection": "jdd"}
+    assert MongoConfig(host="db", port=27017, database="e", collection="c").uri == \
+        "mongodb://db:27017/"
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    sink = MongoSink(cfg)
+    # the reference WriteMode enum maps onto Spark writer modes
+    # (kafka_jdd_to_mongo.rs:85-93: Overwrite = drop + insert_many)
+    for mode, spark_mode in (("overwrite", "Overwrite"), ("append", "Append")):
+        w = sink.writer(df, mode)
+        assert w._jwrite.toString() is not None  # assembled without a jar
+    with pytest.raises(ValueError):
+        sink.writer(df, "upsert")
+    # without the connector jar, write() raises the actionable error
+    with pytest.raises(RuntimeError, match="Connector"):
+        sink.write(df, "append")

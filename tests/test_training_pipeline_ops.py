@@ -566,3 +566,44 @@ def test_ngram_hot_shingle_cap_bounds_join_rows(spark):
     dfreq = [r["c"] for r in sh.groupBy("lang", "_s").agg(F.count(F.lit(1)).alias("c")).collect()]
     assert sum(c * c for c in dfreq) > n_docs * n_docs          # uncapped blow-up exists
     assert sum(c * c for c in dfreq if c <= 5) < 10 * n_docs    # capped join is linear-ish
+
+
+def test_decoded_stats_real_codecs(spark):
+    """extract_decoded_stats runs the REAL container parsers end-to-end
+    (no stub path on this route) and its integer stats equal a direct
+    numpy replay of the payload generators."""
+    import numpy as np
+
+    media = mm.synth_media(spark, 60, hash_mode="portable", include_ppm=True)
+    wavppm = mm.filter_media_metadata(media, mimes=("audio/wav", "image/ppm"))
+    rows = {r["media_id"]: r for r in mm.extract_decoded_stats(wavppm).collect()}
+    assert rows  # both real formats present in the rotation
+    assert {r["mime"] for r in rows.values()} == {"audio/wav", "image/ppm"}
+    for mid, r in rows.items():
+        i = int(mid.split("-")[1])
+        if r["mime"] == "audio/wav":
+            n = 64 + i % 64
+            k = np.arange(n, dtype=np.int64)
+            samples = ((i * 2654435761 + k * 40503) % 65536) - 32768
+            assert (r["n_values"], r["sum_values"]) == (n, int(samples.sum()))
+        else:
+            w, h = 4 + i % 5, 3 + i % 4
+            idx = np.arange(w * h * 3, dtype=np.int64)
+            px = (i * 2654435761 + idx * 97) % 256
+            assert (r["n_values"], r["sum_values"]) == (w * h * 3, int(px.sum()))
+    # a mime with no real codec must raise, never stub
+    with pytest.raises(Exception):
+        mm.extract_decoded_stats(
+            mm.filter_media_metadata(media, mimes=("image/png",))
+        ).collect()
+
+
+def test_ppm_round_trip(spark):
+    """encode_ppm/decode_ppm round-trip, including whitespace/comment
+    header parsing."""
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (mm.decode_ppm(mm.encode_ppm(px)) == px).all()
+    with_comment = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    assert (mm.decode_ppm(with_comment) == px).all()
