@@ -29,6 +29,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
+from etl_rs_spark.operators import dedup_scale as DS
+from etl_rs_spark.operators import similarity as SIM
 from etl_rs_spark.operators.lww import lww_agg
 from etl_rs_spark.operators.normalize_cdc import normalize_events, valid_flag
 from etl_rs_spark.session import get_spark
@@ -36,12 +38,17 @@ from etl_rs_spark.sinks.lakehouse import LakehouseTable
 from etl_rs_spark.sources.binlog import BinlogSpec, gen_events
 from etl_rs_spark.streaming.replay import process_batch
 
-# q19 excluded at sf0.1: the synthetic corpus's 31-word vocabulary makes
-# word-set LSH pairs quadratic in corpus self-similarity (millions of
-# true >=0.6 pairs at sf0.1) — a property of the data, not the engine;
-# q21 (shingle dedup) covers the near-dup path at bench scale. q19 is
-# still measured every run, at sf0.01 (SMALL_SF_QUERIES below), so no
-# contract query goes unmeasured.
+from pyspark.sql import functions as F
+
+# q19 is NOT run verbatim at sf0.1: the synthetic corpus's 31-word
+# vocabulary makes word-set LSH pairs quadratic in corpus
+# self-similarity (millions of true >=0.6 pairs at sf0.1) — a property
+# of the data, not the engine. Instead the main-sf q19 number is
+# measured on a REALISTIC-VOCAB corpus derived from the same documents
+# (bench_q19_realistic below: words salted per doc-cluster, so the
+# vocabulary is ~31 x N_CLUSTERS words and true pairs are sparse like a
+# real web corpus), and the verbatim contract query is still timed at
+# sf0.01 so no contract query goes unmeasured.
 BENCH_QUERIES = [
     "q01_pricing_summary", "q02_top_orders", "q03_nation_rollup",
     "q04_customers_no_urgent", "q05_priority_semi", "q06_repeat_orders_window",
@@ -73,6 +80,77 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: clusters for the realistic-vocab q19 corpus: ~n_docs/N_CLUSTERS docs
+#: share a salted vocabulary, so >=0.6-Jaccard true pairs are sparse
+N_CLUSTERS = 512
+
+
+def salted_documents(spark, sf_dir: str):
+    """The documents table with every word salted by a per-doc cluster
+    id — same row count and word-length distribution, but a vocabulary
+    of ~31 x N_CLUSTERS distinct words, which is what makes banded-LSH
+    cost measurable at the main sf (true >=0.6 pairs exist only within
+    a cluster, like near-dups in a real crawl)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cl = F.pmod(F.xxhash64("doc_id"), F.lit(N_CLUSTERS)).cast("string")
+    ws = F.split(F.trim("text"), r"\s+")
+    salted = F.array_join(
+        F.transform(ws, lambda w: F.concat(w, F.lit("_"), cl)), " "
+    )
+    return d.select("doc_id", "lang", salted.alias("text"))
+
+
+def bench_q19_realistic(spark, sf_dir: str) -> float:
+    """q19 (banded MinHash LSH + exact-Jaccard verify) at the MAIN sf,
+    on the realistic-vocab derivation. Same operator, same parameters
+    as the contract query."""
+    docs = salted_documents(spark, sf_dir)
+    wi = DS.doc_word_ids_hashed(docs, extra_cols=("lang",))
+    t0 = time.monotonic()
+    force(DS.minhash_lsh_pairs(wi, n_hashes=16, bands=4, jaccard_threshold=0.6))
+    return round(time.monotonic() - t0, 3)
+
+
+def bench_ann_recall(spark, sf_dir: str) -> dict[str, float]:
+    """ANN quality tracked next to latency, so knob changes can't
+    silently trade recall:
+    - q27's LSH pairing vs its brute-force twin (n_planes=0 = one
+      bucket = exact all-pairs), at sf0.01 where the quadratic truth
+      stays cheap; verified pairs are a subset of the truth, so recall
+      is the count ratio;
+    - q33's IVF (2-probe integer Lloyd's) vs exact cosine_topk at the
+      main sf (10 queries — the exact side is linear, not quadratic).
+    """
+    qz01 = entry._quantized(spark, SMALL_SF_DIR)
+
+    def pair_count(n_planes, n_bands=1):
+        return SIM.embedding_near_dup_pairs(
+            qz01, dim=64, threshold=0.3, n_planes=n_planes,
+            id_col="vec_id", vec_col="qv", n_bands=n_bands,
+        ).count()
+
+    exact = pair_count(0)  # one bucket = exact all-pairs truth
+    r27 = round(pair_count(6) / exact, 4) if exact else 1.0
+    # the recall knob: 4 independent bands of the same width
+    # (1-(1-p^k)^4); q27's single-band number quantifies what the
+    # contract configuration forgoes at its low 0.3 threshold
+    r27_banded = round(pair_count(6, n_bands=4) / exact, 4) if exact else 1.0
+
+    qz = entry._quantized(spark, sf_dir)
+    queries = qz.filter(F.col("vec_id") < 10)
+    ivf = SIM.ivf_topk_exact(
+        queries, qz, k=5, n_cells=8, n_probe=2, iters=2,
+        id_col="vec_id", vec_col="qv",
+    )
+    brute = SIM.cosine_topk(queries, qz, k=5, id_col="vec_id", vec_col="qv")
+    r33 = round(SIM.ann_recall(ivf, brute), 4)
+    return {
+        "q27_lsh_pairs@sf0.01": r27,
+        "q27_lsh_pairs_4band@sf0.01": r27_banded,
+        "q33_ivf": r33,
+    }
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entry.queries()
     # warmup: JVM/codegen/parquet-footer and Python-worker spin-up costs
@@ -85,6 +163,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.monotonic()
         force(qs[name](spark, sf_dir))
         times[name] = round(time.monotonic() - t0, 3)
+    # the main-sf q19 number (realistic-vocab derivation, same operator)
+    times["q19_minhash_lsh_pairs"] = bench_q19_realistic(spark, sf_dir)
     for name in SMALL_SF_QUERIES:
         t0 = time.monotonic()
         force(qs[name](spark, SMALL_SF_DIR))
@@ -136,6 +216,7 @@ def main() -> None:
     spark = get_spark(app_name="etl-rs-spark-bench", master=f"local[{cpus}]")
     try:
         queries = bench_queries(spark, sf_dir)
+        ann_recall = bench_ann_recall(spark, sf_dir)
         # best-of-2: single runs on this VM vary +-2x with machine phase
         replay = bench_replay(spark)
         second = bench_replay(spark)
@@ -148,6 +229,7 @@ def main() -> None:
             "queries": queries,
             "sf": sf,
             "total_query_sec": round(sum(queries.values()), 3),
+            "ann_recall": ann_recall,
             **replay,
             "cpus": int(cpus),
         }

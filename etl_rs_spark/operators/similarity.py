@@ -566,6 +566,16 @@ def ivf_topk_exact(
     )
 
 
+def _lsh_bucket_banded(vec: Column, band: int, n_planes: int, dim: int) -> Column:
+    """Bucket id for OR-amplification band ``band``: planes
+    [band*n_planes, (band+1)*n_planes) — independent hyperplane sets
+    per band. band=0 reproduces ``lsh_bucket`` exactly."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        bucket = bucket * 2 + hyperplane_sign(vec, band * n_planes + j, dim)
+    return bucket
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
@@ -576,6 +586,7 @@ def embedding_near_dup_pairs(
     round_digits: int = 6,
     max_bucket_size: int | None = None,
     target_bucket_size: int = 1024,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket self-join (near-
     identical vectors land in the same bucket with high probability),
@@ -587,38 +598,99 @@ def embedding_near_dup_pairs(
     max_block_size rule: buckets over the cap are excluded from pairing
     entirely (bounded worst case under adversarial skew — a mega-bucket
     means the planes under-split; raise n_planes instead of paying
-    O(k^2))."""
+    O(k^2)).
+
+    ``n_bands`` is the RECALL knob (OR-amplification, the same banding
+    minhash LSH uses): each band hashes with an independent set of
+    n_planes hyperplanes and a pair is a candidate if it collides in
+    ANY band. Single-band recall for a pair at angle θ is
+    (1 - θ/π)^n_planes — only ~0.67 even at cosine 0.98 with 6 planes —
+    while b bands give 1-(1-p^k)^b (~0.99 at b=4) WITHOUT growing any
+    bucket: cost is b× the candidate join, not 2^k× the bucket size.
+    n_bands=1 (with band 0 = the original plane set) preserves the
+    previous behavior bit-for-bit; banded candidates are a superset of
+    single-band candidates. The exact-cosine verify runs once per
+    distinct pair — bands add candidates, never wrong scores."""
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
     if n_planes is None:
         n_planes = auto_n_planes(df.count(), target_bucket_size)
-    b = df.select(
+    base = df.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("_bucket"),
+    )
+    banded = base.select(
+        F.col(id_col), "_v", "_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        _lsh_bucket_banded(F.col("_v"), bi, n_planes, dim).alias("key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        id_col, "_v", "_n",
+        F.col("_b.band").alias("_band"), F.col("_b.key").alias("_bucket"),
     )
     if max_bucket_size is not None:
-        w = Window.partitionBy("_bucket")
-        b = (
-            b.withColumn("_bsize", F.count(F.lit(1)).over(w))
+        w = Window.partitionBy("_band", "_bucket")
+        banded = (
+            banded.withColumn("_bsize", F.count(F.lit(1)).over(w))
             .filter(F.col("_bsize") <= max_bucket_size)
             .drop("_bsize")
         )
-    l, r = b.alias("l"), b.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l._bucket") == F.col("r._bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    score = F.round(
+        _cosine_precomputed(
+            F.col("l._v"), F.col("r._v"), F.col("l._n"), F.col("r._n")
+        ),
+        round_digits,
+    ).alias("score")
+    if n_bands == 1:
+        # single band: a pair can collide at most once — score inline
+        l, r = banded.alias("l"), banded.alias("r")
+        return (
+            l.join(
+                r,
+                (F.col("l._bucket") == F.col("r._bucket"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_l"),
+                F.col(f"r.{id_col}").alias("id_r"),
+                score,
+            )
+            .filter(F.col("score") >= threshold)
+        )
+    # multi-band: distinct the candidate ID pairs FIRST, then join the
+    # vectors back — the interpreted exact-cosine verify runs once per
+    # pair, not once per colliding band (the minhash_lsh_pairs shape)
+    lb, rb = banded.alias("lb"), banded.alias("rb")
+    cand = (
+        lb.join(
+            rb,
+            (F.col("lb._band") == F.col("rb._band"))
+            & (F.col("lb._bucket") == F.col("rb._bucket"))
+            & (F.col(f"lb.{id_col}") < F.col(f"rb.{id_col}")),
         )
         .select(
-            F.col(f"l.{id_col}").alias("id_l"),
-            F.col(f"r.{id_col}").alias("id_r"),
-            F.round(
-                _cosine_precomputed(
-                    F.col("l._v"), F.col("r._v"), F.col("l._n"), F.col("r._n")
-                ),
-                round_digits,
-            ).alias("score"),
+            F.col(f"lb.{id_col}").alias("id_l"),
+            F.col(f"rb.{id_col}").alias("id_r"),
         )
+        .distinct()
+    )
+    l = base.select(
+        F.col(id_col).alias("id_l"), F.col("_v"), F.col("_n")
+    ).alias("l")
+    r = base.select(
+        F.col(id_col).alias("id_r"), F.col("_v"), F.col("_n")
+    ).alias("r")
+    return (
+        cand.join(l, "id_l").join(r, "id_r")
+        .select("id_l", "id_r", score)
         .filter(F.col("score") >= threshold)
     )

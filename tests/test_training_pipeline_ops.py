@@ -607,3 +607,32 @@ def test_ppm_round_trip(spark):
     assert (mm.decode_ppm(mm.encode_ppm(px)) == px).all()
     with_comment = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
     assert (mm.decode_ppm(with_comment) == px).all()
+
+
+def test_near_dup_banding_raises_recall_monotonically(spark, vecs_large=None):
+    """OR-amplification: banded candidates are a superset of band 0's
+    (same plane indexing), recall grows with n_bands, and every banded
+    pair still carries the exact verified score."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.randint(-50, 50) for _ in range(8)]) for i in range(120)
+    ]
+    qz = spark.createDataFrame(rows, "vec_id int, qv array<bigint>")
+
+    def pairs(n_bands, n_planes=4):
+        return {
+            (r["id_l"], r["id_r"]): r["score"]
+            for r in sim.embedding_near_dup_pairs(
+                qz, dim=8, threshold=0.5, n_planes=n_planes,
+                id_col="vec_id", vec_col="qv", n_bands=n_bands,
+            ).collect()
+        }
+
+    exact = pairs(1, n_planes=0)  # 0 planes -> one bucket -> all-pairs truth
+    p1, p2, p4 = pairs(1), pairs(2), pairs(4)
+    assert set(p1) <= set(p2) <= set(p4) <= set(exact)
+    assert len(p4) > len(p1)  # banding actually recovered more pairs
+    for k, v in p4.items():
+        assert exact[k] == v  # scores identical to the exact verify
