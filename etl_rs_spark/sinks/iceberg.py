@@ -153,6 +153,8 @@ class IcebergTable:
     ) -> dict:
         if self.is_committed(batch_key):
             return {"skipped": True}
+        if callable(offsets):  # interface parity with LakehouseTable
+            offsets = offsets()
         prev = self._props()
         committed = (json.loads(prev.get("replay.committed", "[]"))
                      + [batch_key])[-COMMITTED_LEDGER_CAP:]

@@ -229,16 +229,18 @@ class LakehouseTable:
         self,
         changes: DataFrame,
         batch_key: str,
-        offsets: dict[int, int] | None = None,
+        offsets: "dict[int, int] | Callable[[], dict[int, int]] | None" = None,
         lineage: dict[str, int] | "Callable[[], dict[str, int]]" | None = None,
     ) -> dict:
         """MERGE one LWW-resolved change batch (one row per key; columns:
         key_col, op, lsn, offset, payload...). Returns commit info.
 
-        ``lineage`` may be a callable resolved AFTER the data write and
-        before the manifest commit — this lets callers collect counters
-        via Observations riding on the merge job itself instead of
-        running extra passes over the batch."""
+        ``lineage`` and ``offsets`` may be callables resolved AFTER the
+        data write and before the manifest commit — this lets callers
+        collect counters via Observations riding on the merge job
+        itself, and run the envelope offset/dup aggregation as a
+        CONCURRENT job that the manifest step joins, instead of a
+        serial pass in front of the merge."""
         man = self.manifest()
         if batch_key in man["committed"]:
             return {"skipped": True, "version": man["version"]}
@@ -340,6 +342,8 @@ class LakehouseTable:
 
         if callable(lineage):
             lineage = lineage()  # post-write: observations have landed
+        if callable(offsets):
+            offsets = offsets()  # post-write: the concurrent job joined
         for p, o in (offsets or {}).items():
             k = str(p)
             man["offsets"][k] = max(int(man["offsets"].get(k, -1)), int(o))

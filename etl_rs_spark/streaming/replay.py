@@ -22,6 +22,7 @@ at-least-once auto-commit to exactly-once).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -84,17 +85,29 @@ def process_batch(
     # Catalyst prunes the scan to (partition, offset) — the token-array
     # payload column never leaves parquet for this job. (Duplicate
     # deliveries have identical (partition, offset), so count -
-    # count_distinct(offset) per partition counts them exactly.)
-    per_part = (
-        events.groupBy("partition")
-        .agg(
-            F.count(F.lit(1)).alias("rows_in"),
-            (F.count(F.lit(1)) - F.count_distinct("offset")).alias("dups"),
-            F.max("offset").alias("max_offset"),
-        )
-        .collect()
+    # count_distinct(offset) per partition counts them exactly; a
+    # "dense offsets = max-min+1" shortcut is WRONG here, because a
+    # redelivery re-sends an OLD offset into a later batch, making the
+    # batch's per-partition offset set non-contiguous.)
+    #
+    # The collect is submitted on a SEPARATE thread so this ~O(events)
+    # envelope job runs CONCURRENTLY with the main merge job instead of
+    # serializing in front of it (profiled at ~25% of merge wall-time
+    # at 8M events on 32 cores). Both offsets and lineage are consumed
+    # only at manifest-commit time, after the data write — merge()
+    # accepts callables for exactly this.
+    per_part_query = events.groupBy("partition").agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        (F.count(F.lit(1)) - F.count_distinct("offset")).alias("dups"),
+        F.max("offset").alias("max_offset"),
     )
-    offsets = {int(r["partition"]): int(r["max_offset"]) for r in per_part}
+    pool = ThreadPoolExecutor(max_workers=1)
+    per_part_fut = pool.submit(per_part_query.collect)
+
+    def offsets_fn() -> dict[int, int]:
+        return {
+            int(r["partition"]): int(r["max_offset"]) for r in per_part_fut.result()
+        }
 
     # Normalize-after-LWW: row validity is just "delete, or at least
     # one in-vocab token exists" — an early-exit F.exists with NO
@@ -135,8 +148,10 @@ def process_batch(
 
     def lineage_fn() -> dict[str, int]:
         # resolved AFTER the merge write executes (observations are
-        # collected by that job); safe because merge() calls this only
-        # post-write, pre-manifest-commit
+        # collected by that job, and the concurrent envelope job has
+        # had the merge's wall-time to finish); safe because merge()
+        # calls this only post-write, pre-manifest-commit
+        per_part = per_part_fut.result()
         lin = {
             "rows_in": sum(int(r["rows_in"]) for r in per_part),
             "dup_deliveries": sum(int(r["dups"]) for r in per_part),
@@ -146,12 +161,15 @@ def process_batch(
         }
         return lin
 
-    result = table.merge(
-        winners, batch_key, offsets=offsets,
-        lineage=lineage_fn if cfg.collect_lineage else {},
-    )
-    if cache_winners:
-        winners.unpersist()
+    try:
+        result = table.merge(
+            winners, batch_key, offsets=offsets_fn,
+            lineage=lineage_fn if cfg.collect_lineage else {},
+        )
+    finally:
+        pool.shutdown(wait=True)
+        if cache_winners:
+            winners.unpersist()
     return result
 
 
