@@ -395,15 +395,17 @@ def q24_multimodal_features(spark, sf_dir):
 
 def q24b_multimodal_decode(spark, sf_dir):
     """REAL container decode under the driver gate: synth table with
-    genuine PCM16-WAV and binary-PPM payloads -> metadata-pruned filter
-    to exactly those mimes -> Arrow-batched decode_wav/decode_ppm
-    (operators/multimodal.decoded_stats — no stub path exists on this
-    route) -> integer stats per mime. Payload generators are pure
-    integer arithmetic (seeded ramps), so the DuckDB oracle regenerates
-    every decoded sample/pixel value and the sums match exactly."""
+    genuine PCM16-WAV, binary-PPM, AND zlib-PNG payloads ->
+    metadata-pruned filter to exactly those mimes -> Arrow-batched
+    decode_wav/decode_ppm/decode_png (operators/multimodal
+    .decoded_stats — no stub path exists on this route) -> integer
+    stats per mime. Payload generators are pure integer arithmetic
+    (seeded ramps), so the DuckDB oracle regenerates every decoded
+    sample/pixel value and the sums match exactly (for PNG the decoder
+    reverses our zlib/filter-0 encoding back to the exact ramp)."""
     media = MM.synth_media(spark, 200, hash_mode="portable", include_ppm=True)
     stats = MM.extract_decoded_stats(
-        MM.filter_media_metadata(media, mimes=("audio/wav", "image/ppm"))
+        MM.filter_media_metadata(media, mimes=("audio/wav", "image/ppm", "image/png"))
     )
     return stats.groupBy("mime").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1303,11 +1305,20 @@ def oracle_sql() -> dict[str, str]:
                       range(0, CAST((4 + id % 5) * (3 + id % 4) * 3 AS INTEGER)),
                       k -> (id * 2654435761 + k * 97) % 256)) AS BIGINT) AS sv
           FROM m WHERE mi = 3
+        ),
+        png AS (
+          SELECT id, 'image/png' AS mime,
+                 (4 + id % 5) * (3 + id % 4) * 3 AS nv,
+                 CAST(list_sum(list_transform(
+                      range(0, CAST((4 + id % 5) * (3 + id % 4) * 3 AS INTEGER)),
+                      k -> (id * 2654435761 + k * 101) % 256)) AS BIGINT) AS sv
+          FROM m WHERE mi = 0
         )
         SELECT mime, count(*) AS n,
                CAST(sum(nv) AS BIGINT) AS sum_n_values,
                CAST(sum(sv) AS BIGINT) AS sum_values
-        FROM (SELECT * FROM wav UNION ALL SELECT * FROM ppm)
+        FROM (SELECT * FROM wav UNION ALL SELECT * FROM ppm
+              UNION ALL SELECT * FROM png)
         GROUP BY mime
     """
 

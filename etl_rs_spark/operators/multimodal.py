@@ -80,6 +80,16 @@ def _synth_ppm(media_id: int) -> bytes:
     return encode_ppm(pix.reshape(h, w, 3))
 
 
+def _synth_png(media_id: int) -> bytes:
+    """Deterministic REAL PNG payload (same raster shape as the PPM,
+    different byte ramp): zlib-compressed, decoded by decode_png."""
+    w = 4 + media_id % 5
+    h = 3 + media_id % 4
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    pix = ((media_id * 2654435761 + idx * 101) % 256).astype(np.uint8)
+    return encode_png(pix.reshape(h, w, 3))
+
+
 def synth_media(
     spark: SparkSession, n: int, seed: int = 42, partitions: int = 8,
     hash_mode: str = "xxhash64", include_ppm: bool = False,
@@ -106,6 +116,9 @@ def synth_media(
     )
     ppm_udf = F.pandas_udf(
         lambda ids: ids.map(lambda i: _synth_ppm(int(i))), _Bin()
+    )
+    png_udf = F.pandas_udf(
+        lambda ids: ids.map(lambda i: _synth_png(int(i))), _Bin()
     )
 
     def H(salt: str) -> F.Column:
@@ -136,6 +149,12 @@ def synth_media(
             "payload",
             F.when(F.col("mime") == "audio/wav", wav_udf(F.col("id")))
             .when(F.col("mime") == "image/ppm", ppm_udf(F.col("id")))
+            # real-codec mode also makes png rows GENUINE PNG containers
+            # (jpeg stays an opaque stand-in — its codec is the stub)
+            .when(
+                F.lit(include_ppm) & (F.col("mime") == "image/png"),
+                png_udf(F.col("id")),
+            )
             .otherwise(F.encode(F.format_string("payload-%d", F.col("id")), "utf-8")),
         )
         .withColumn("n_bytes", F.length("payload").cast("int"))
@@ -200,6 +219,110 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0, rate
 
 
+#: PNG file signature (8 bytes)
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """REAL PNG encoder (stdlib zlib only): 8-bit RGB, colour type 2,
+    non-interlaced, filter 0 per scanline. pixels (h, w, 3) uint8."""
+    import zlib
+
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_png expects (h, w, 3) RGB")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.asarray(pixels, dtype=np.uint8)
+    scanlines = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decoder (stdlib zlib only): walks IHDR/IDAT/IEND
+    chunks, inflates, and reverses all five scanline filters (None,
+    Sub, Up, Average, Paeth). Supports 8-bit RGB (colour type 2) and
+    RGBA (type 6), non-interlaced — the common case emitted by every
+    standard encoder at these settings. Returns (h, w, channels)
+    uint8; raises ValueError on anything else (palette, 16-bit,
+    interlaced), keeping null-on-invalid the CALLER's policy."""
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype_i, _comp, _filt, interlace = ihdr
+    if depth != 8 or ctype_i not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} colour={ctype_i} "
+            f"interlace={interlace}); only 8-bit RGB/RGBA non-interlaced"
+        )
+    ch = 3 if ctype_i == 2 else 4
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int32) + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left state
+            cur = np.zeros(stride, dtype=np.int32)
+            li = line.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0        # left
+                b = pv[x]                                 # up
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    c_ = pv[x - ch] if x >= ch else 0     # up-left
+                    p = a + b - c_
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c_)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c_)
+                cur[x] = (li[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
 def encode_ppm(pixels: np.ndarray) -> bytes:
     """Binary PPM (P6): ASCII header + raw RGB bytes; pixels (h, w, 3)."""
     h, w, _ = pixels.shape
@@ -246,13 +369,18 @@ def _pool_to_dim(values: np.ndarray, dim: int) -> list[float]:
 
 
 def decode_media(payload: bytes, mime: str, dim: int, strict: bool) -> list[float]:
-    """Dispatch: REAL decode for wav/ppm, stub for formats whose codecs
-    aren't shipped here. The real paths work in strict mode too."""
+    """Dispatch: REAL decode for wav/ppm/png, stub for formats whose
+    codecs aren't shipped here (jpeg, video). The real paths work in
+    strict mode too. PNG additionally content-sniffs the signature so
+    non-PNG bytes mislabeled image/png fall through to the stub instead
+    of a parse error (test fixtures; the strict path still raises)."""
     if mime == "audio/wav":
         samples, _rate = decode_wav(payload)
         return _pool_to_dim(samples, dim)
     if mime in ("image/ppm", "image/x-portable-pixmap"):
         return _pool_to_dim(decode_ppm(payload).astype(np.float64) / 255.0, dim)
+    if mime == "image/png" and payload[:8] == PNG_MAGIC:
+        return _pool_to_dim(decode_png(payload).astype(np.float64) / 255.0, dim)
     return _decode_stub(payload, mime, dim, strict)
 
 
@@ -318,6 +446,9 @@ def decoded_stats(payload: bytes, mime: str) -> tuple[int, int]:
         return int(ints.size), int(ints.sum())
     if mime in ("image/ppm", "image/x-portable-pixmap"):
         px = decode_ppm(payload).astype(np.int64)
+        return int(px.size), int(px.sum())
+    if mime == "image/png":
+        px = decode_png(payload).astype(np.int64)
         return int(px.size), int(px.sum())
     raise ValueError(f"no real codec for {mime!r} — decoded_stats never stubs")
 

@@ -463,6 +463,168 @@ def lsh_topk_partitioned(
     )
 
 
+IVF_META_FILE = "_ivf_meta.json"
+
+
+def write_ivf_partitioned(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Materialize the corpus in the IVF layout the probes want:
+    parquet partitioned by nearest-centroid cell (deterministic integer
+    Lloyd's — the same quantizer as ivf_topk_exact), with the trained
+    centroids + layout parameters in an ``_ivf_meta.json`` sidecar.
+    At 100 TB a probe reads n_probe cell DIRECTORIES instead of
+    scanning the corpus — the same write-time contract as
+    write_lsh_partitioned, with a data-adaptive partitioner. Returns
+    the centroids (driver-side n_cells x dim ints, never O(corpus))."""
+    import json
+    import os
+
+    cents = _train_integer_lloyds(corpus, n_cells, n_iters, id_col, vec_col)
+    cent_df = _cent_frame(corpus.sparkSession, cents)
+    assigned = _assign_cells(
+        corpus.select(id_col, vec_col), cent_df, 1, id_col, vec_col
+    ).withColumnRenamed("cell", "cell_part")
+    (
+        assigned.withColumnRenamed("cell_part", "cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    with open(os.path.join(path, IVF_META_FILE), "w") as f:
+        json.dump(
+            {"n_cells": n_cells, "id_col": id_col, "vec_col": vec_col,
+             "centroids": cents},
+            f,
+        )
+    return cents
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN top-k against an IVF-partitioned corpus on storage: each
+    query's n_probe nearest cells are computed against the sidecar's
+    centroids (broadcast, O(n_cells) driver bytes) and pushed into the
+    scan as a partition filter — only the probed cell directories are
+    read. Results equal ivf_topk_exact with the same quantizer."""
+    import json
+    import os
+
+    with open(os.path.join(path, IVF_META_FILE)) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cents = [[int(x) for x in c] for c in meta["centroids"]]
+    cent_df = _cent_frame(spark, cents)
+
+    q_cells = _assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        cent_df, n_probe, "query_id", vec_col,
+    ).withColumnsRenamed({vec_col: "_qv"}).withColumn("_qn", norm(F.col("_qv")))
+    wanted = sorted({int(r["cell"]) for r in q_cells.select("cell").distinct().collect()})
+    c = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(wanted))  # -> partition pruning
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            norm(F.col(vec_col)).alias("_cn"),
+            "cell",
+        )
+    )
+    scored = (
+        q_cells.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            _cosine_precomputed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("score", round_digits).alias("score"), "rank",
+        )
+    )
+
+
+def _sq_dist_int(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cent_frame(spark, cents: list[list[int]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, _cent array<bigint>"
+    )
+
+
+def _assign_cells(
+    side: DataFrame, cent_df: DataFrame, n: int, sid: str, vec_col: str
+) -> DataFrame:
+    """n nearest centroids per vector: broadcast-centroid cross join +
+    window rank (ties to the lower cell). No per-row Python."""
+    d = side.crossJoin(F.broadcast(cent_df)).withColumn(
+        "_dist", _sq_dist_int(F.col(vec_col), F.col("_cent"))
+    )
+    w = Window.partitionBy(sid).orderBy(F.asc("_dist"), F.asc("cell"))
+    return (
+        d.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= n)
+        .drop("_dist", "_cr", "_cent")
+    )
+
+
+def _train_integer_lloyds(
+    corpus: DataFrame, n_cells: int, iters: int, id_col: str, vec_col: str
+) -> list[list[int]]:
+    """The deterministic integer Lloyd's quantizer shared by
+    ivf_topk_exact and write_ivf_partitioned: init = lowest-id vectors,
+    exact integer distances, ties to the lower cell, floor-mean
+    centroid updates (empty cells keep their previous centroid), fixed
+    iteration count. Per-iteration driver traffic is n_cells rows."""
+    import math
+
+    spark = corpus.sparkSession
+    init = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
+    cents: list[list[int]] = [[int(x) for x in r[vec_col]] for r in init]
+    for _ in range(iters):
+        assigned = _assign_cells(
+            corpus.select(id_col, vec_col), _cent_frame(spark, cents), 1,
+            id_col, vec_col,
+        )
+        rows = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = (int(r["s"]), int(r["c"]))
+        for ci in range(len(cents)):
+            dims = by_cell.get(ci)
+            if dims:
+                cents[ci] = [math.floor(dims[p][0] / dims[p][1]) for p in sorted(dims)]
+    return cents
+
+
 def ivf_topk_exact(
     queries: DataFrame,
     corpus: DataFrame,
@@ -485,66 +647,21 @@ def ivf_topk_exact(
     cells keep their previous centroid); fixed ``iters`` iterations.
     An external SQL engine reproduces the centroids, cells and ranking
     bit-for-bit. Per-iteration driver traffic is n_cells rows (the
-    centroids) — never O(corpus).
+    centroids) — never O(corpus). Training and cell assignment are the
+    shared _train_integer_lloyds / _assign_cells helpers, which
+    write_ivf_partitioned reuses for the write-time-partitioned layout.
     """
-    import math
-
     spark = corpus.sparkSession
+    cents = _train_integer_lloyds(corpus, n_cells, iters, id_col, vec_col)
+    cent_df = _cent_frame(spark, cents)
 
-    def sq_dist(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    def assign(side: DataFrame, cent_df: DataFrame, n: int, sid: str) -> DataFrame:
-        d = side.crossJoin(F.broadcast(cent_df)).withColumn(
-            "_dist", sq_dist(F.col(vec_col), F.col("_cent"))
-        )
-        w = Window.partitionBy(sid).orderBy(F.asc("_dist"), F.asc("cell"))
-        return (
-            d.withColumn("_cr", F.row_number().over(w))
-            .filter(F.col("_cr") <= n)
-            .drop("_dist", "_cr", "_cent")
-        )
-
-    init = corpus.orderBy(id_col).limit(n_cells).select(vec_col).collect()
-    cents: list[list[int]] = [[int(x) for x in r[vec_col]] for r in init]
-
-    def cent_frame() -> DataFrame:
-        return spark.createDataFrame(
-            [(i, cents[i]) for i in range(len(cents))],
-            "cell int, _cent array<bigint>",
-        )
-
-    for _ in range(iters):
-        assigned = assign(
-            corpus.select(id_col, vec_col), cent_frame(), 1, id_col
-        )
-        rows = (
-            assigned.select("cell", F.posexplode(vec_col).alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in rows:
-            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = (int(r["s"]), int(r["c"]))
-        for ci in range(len(cents)):
-            dims = by_cell.get(ci)
-            if dims:  # empty cells keep their previous centroid
-                cents[ci] = [
-                    math.floor(dims[p][0] / dims[p][1]) for p in sorted(dims)
-                ]
-
-    c_cells = assign(
+    c_cells = _assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
-        cent_frame(), 1, "neighbor_id",
+        cent_df, 1, "neighbor_id", vec_col,
     ).withColumnsRenamed({vec_col: "_cv"}).withColumn("_cn", norm(F.col("_cv")))
-    q_cells = assign(
+    q_cells = _assign_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
-        cent_frame(), n_probe, "query_id",
+        cent_df, n_probe, "query_id", vec_col,
     ).withColumnsRenamed({vec_col: "_qv"}).withColumn("_qn", norm(F.col("_qv")))
 
     scored = (

@@ -428,3 +428,4 @@ def test_merge_correct_under_misaligned_shuffle_conf(spark, tmp_path, binlog, or
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert table_state(table.read()) == oracle_state
+

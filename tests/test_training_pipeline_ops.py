@@ -575,10 +575,14 @@ def test_decoded_stats_real_codecs(spark):
     import numpy as np
 
     media = mm.synth_media(spark, 60, hash_mode="portable", include_ppm=True)
-    wavppm = mm.filter_media_metadata(media, mimes=("audio/wav", "image/ppm"))
-    rows = {r["media_id"]: r for r in mm.extract_decoded_stats(wavppm).collect()}
-    assert rows  # both real formats present in the rotation
-    assert {r["mime"] for r in rows.values()} == {"audio/wav", "image/ppm"}
+    real = mm.filter_media_metadata(
+        media, mimes=("audio/wav", "image/ppm", "image/png")
+    )
+    rows = {r["media_id"]: r for r in mm.extract_decoded_stats(real).collect()}
+    assert rows  # all three real formats present in the rotation
+    assert {r["mime"] for r in rows.values()} == {
+        "audio/wav", "image/ppm", "image/png"
+    }
     for mid, r in rows.items():
         i = int(mid.split("-")[1])
         if r["mime"] == "audio/wav":
@@ -589,12 +593,13 @@ def test_decoded_stats_real_codecs(spark):
         else:
             w, h = 4 + i % 5, 3 + i % 4
             idx = np.arange(w * h * 3, dtype=np.int64)
-            px = (i * 2654435761 + idx * 97) % 256
+            mult = 97 if r["mime"] == "image/ppm" else 101
+            px = (i * 2654435761 + idx * mult) % 256
             assert (r["n_values"], r["sum_values"]) == (w * h * 3, int(px.sum()))
     # a mime with no real codec must raise, never stub
     with pytest.raises(Exception):
         mm.extract_decoded_stats(
-            mm.filter_media_metadata(media, mimes=("image/png",))
+            mm.filter_media_metadata(media, mimes=("image/jpeg",))
         ).collect()
 
 
@@ -636,3 +641,80 @@ def test_near_dup_banding_raises_recall_monotonically(spark, vecs_large=None):
     assert len(p4) > len(p1)  # banding actually recovered more pairs
     for k, v in p4.items():
         assert exact[k] == v  # scores identical to the exact verify
+
+
+def test_png_codec_all_filters():
+    """Pure-python PNG codec: our encoder round-trips, and the decoder
+    reverses ALL five scanline filters (None/Sub/Up/Average/Paeth) and
+    RGBA — i.e. it reads PNGs from standard encoders at these settings,
+    not just its own output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    assert (mm.decode_png(mm.encode_png(px)) == px).all()
+
+    def fwd_filter(raw, ftype, ch):
+        h, w, _ = raw.shape
+        stride = w * ch
+        flat = raw.reshape(h, stride).astype(np.int32)
+        out, prev = b"", np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            line, enc = flat[y], np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                if ftype == 0: pred = 0
+                elif ftype == 1: pred = a
+                elif ftype == 2: pred = b
+                elif ftype == 3: pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) % 256
+            out += bytes([ftype]) + enc.astype(np.uint8).tobytes()
+            prev = line
+        return out
+
+    def build(raw, ctype, ch, ftype):
+        h, w, _ = raw.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (mm.PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr)
+                + mm._png_chunk(b"IDAT", zlib.compress(fwd_filter(raw, ftype, ch)))
+                + mm._png_chunk(b"IEND", b""))
+
+    for ftype in range(5):
+        assert (mm.decode_png(build(px, 2, 3, ftype)) == px).all(), ftype
+    px4 = rng.randint(0, 256, size=(3, 4, 4)).astype(np.uint8)
+    assert (mm.decode_png(build(px4, 6, 4, 4)) == px4).all()
+    with pytest.raises(ValueError):
+        mm.decode_png(b"not a png")
+
+
+def test_ivf_partitioned_matches_exact(spark, tmp_path):
+    """The IVF storage layout: write-time cell partitioning + sidecar
+    centroids; probed reads return exactly what ivf_topk_exact computes
+    with the same quantizer, and the scan is pruned to probed cells."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.randint(-100, 100) for _ in range(8)]) for i in range(200)]
+    qz = spark.createDataFrame(rows, "vec_id int, qv array<bigint>")
+    path = str(tmp_path / "ivf")
+    cents = sim.write_ivf_partitioned(qz, path, n_cells=6, n_iters=2, vec_col="qv")
+    assert len(cents) == 6
+
+    queries = qz.filter("vec_id < 8")
+    got = sim.ivf_topk_partitioned(spark, path, queries, k=3, n_probe=2)
+    ref = sim.ivf_topk_exact(
+        queries, qz, k=3, n_cells=6, n_probe=2, iters=2, vec_col="qv"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
