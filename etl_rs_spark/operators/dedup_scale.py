@@ -229,6 +229,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, verified by exact
     Jaccard over distinct word-id sets.
@@ -242,7 +243,13 @@ def minhash_lsh_pairs(
     (2) distinct pairs join back to word-id sets for the exact verify.
     Returns (id_l, id_r, jaccard), id_l < id_r, jaccard rounded to
     6 decimals (cross-engine float parity) and >= threshold.
-    """
+
+    ``max_bucket_size`` is the skew cap its simhash/embedding siblings
+    carry: k exact-duplicate documents share identical signatures, so
+    one (band, key) bucket holds k docs and the self-join pays k^2 —
+    buckets over the cap are excluded from pairing (run exact dedup
+    FIRST; a pair sharing only capped buckets is the documented recall
+    trade)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signature(F.col(word_ids_col), n_hashes)
     with_sig = docs.select(id_col, sig.alias("_sig"))
@@ -256,6 +263,14 @@ def minhash_lsh_pairs(
     banded = with_sig.select(
         id_col, F.explode(F.array(*[band_key(bi) for bi in range(bands)])).alias("_b")
     ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
+
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bsize", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsize") <= max_bucket_size)
+            .drop("_bsize")
+        )
 
     l, r = banded.alias("l"), banded.alias("r")
     cand = (

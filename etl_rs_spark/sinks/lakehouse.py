@@ -127,7 +127,17 @@ class LakehouseTable:
     def manifest(self) -> dict:
         with open(self._current_path) as f:
             version = int(f.read().strip())
-        with open(os.path.join(self._snap_dir, f"v{version}.json")) as f:
+        return self.manifest_at(version)
+
+    def manifest_at(self, version: int) -> dict:
+        """A specific snapshot's manifest. Every committed version's
+        manifest (and its immutable data files) stays on disk, so any
+        historical snapshot can be read back — Iceberg-style time
+        travel."""
+        path = os.path.join(self._snap_dir, f"v{version}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no snapshot v{version} at {self.path!r}")
+        with open(path) as f:
             return json.load(f)
 
     def _write_manifest(self, man: dict, version: int) -> None:
@@ -208,8 +218,11 @@ class LakehouseTable:
         out = df.groupBy(self.key_col).agg(winner)
         return out.select(self.key_col, *[F.col(f"_w.{c}").alias(c) for c in payload])
 
-    def read(self, include_meta: bool = False) -> DataFrame:
-        man = self.manifest()
+    def read(self, include_meta: bool = False, version: int | None = None) -> DataFrame:
+        """Snapshot scan; ``version`` time-travels to any committed
+        snapshot (data files are immutable and manifests are retained,
+        so an old version reads exactly what it read when current)."""
+        man = self.manifest() if version is None else self.manifest_at(version)
         files = [f for fl in man["buckets"].values() for f in fl]
         df = self._read_files(man, files)
         if self.mode == "mor":
@@ -397,3 +410,53 @@ class LakehouseTable:
         man["version"] = version
         self._write_manifest(man, version)
         return {"skipped": False, "version": version, "compacted_files": n_files}
+
+    # -- tombstone retention -------------------------------------------------
+
+    def vacuum_tombstones(self, min_lsn: int) -> dict:
+        """Drop delete tombstones with ``_lsn < min_lsn`` — the
+        retention job the compact() docstring defers to.
+
+        PRECONDITION (caller's responsibility): the upstream log is
+        known to be consumed past ``min_lsn``, i.e. no future batch can
+        deliver an event with lsn < min_lsn. Under that invariant a
+        dropped tombstone can never be needed again: the only row it
+        suppresses is a replayed OLDER insert, which by the invariant
+        will never arrive. Without it, dropping a tombstone would let a
+        late replay resurrect a deleted key — which is why tombstones
+        are retained by default and this is an explicit maintenance
+        call. MOR tables are LWW-resolved first (per-key winners), so
+        the rewrite doubles as a compaction."""
+        man = self.manifest()
+        files = [f for fl in man["buckets"].values() for f in fl]
+        df = self._read_files(man, files)
+        if self.mode == "mor":
+            df = self._resolve(df)
+        keep = df.filter(
+            ~(F.col("_deleted") & (F.col("_lsn") < F.lit(int(min_lsn))))
+        ).withColumn("_bucket", self._bucket(F.col(self.key_col)))
+
+        version = man["version"] + 1
+        out_dir = os.path.join(self.path, "data", f"v{version}")
+        (
+            self._bucket_colocated(keep).write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_buckets: dict[str, list[str]] = {}
+        for d in os.listdir(out_dir):
+            if not d.startswith("_bucket="):
+                continue
+            b = d.split("=", 1)[1]
+            bdir = os.path.join(out_dir, d)
+            new_buckets[b] = [
+                os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
+            ]
+        man["buckets"] = new_buckets
+        man["history"] = (
+            man["history"]
+            + [{"batch": f"_vacuum<{min_lsn}", "version": version, "lineage": {}}]
+        )[-100:]
+        man["version"] = version
+        self._write_manifest(man, version)
+        return {"skipped": False, "version": version, "min_lsn": int(min_lsn)}

@@ -429,3 +429,49 @@ def test_merge_correct_under_misaligned_shuffle_conf(spark, tmp_path, binlog, or
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert table_state(table.read()) == oracle_state
 
+
+
+def test_time_travel_reads_historical_snapshots(spark, tmp_path, binlog, oracle_state):
+    """Every committed version's manifest + immutable data files stay
+    readable: read(version=k) returns exactly the state after batch k."""
+    path, segs, events = binlog
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    replay_segments(spark, table, segs, cfg=CFG)
+    assert table.manifest()["version"] == len(segs)
+
+    # state after the FIRST segment only = oracle over its events
+    # (segments split the lsn range evenly: segment 0 = lsn <= n/4)
+    first_events = [e for e in events if e["lsn"] <= SPEC.n_events // 4]
+    want_v1 = oracle_replay(first_events, VOCAB, MAX_LEN)
+    assert table_state(table.read(version=1)) == want_v1
+    assert table_state(table.read()) == oracle_state
+    with pytest.raises(ValueError):
+        table.read(version=99)
+
+
+def test_vacuum_tombstones_drops_only_expired(spark, tmp_path, binlog, oracle_state):
+    """vacuum_tombstones removes delete tombstones below the retention
+    lsn without changing the live state; the pre-vacuum snapshot stays
+    time-travelable."""
+    path, segs, _ = binlog
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    replay_segments(spark, table, segs, cfg=CFG)
+    pre_version = table.manifest()["version"]
+    meta = table.read(include_meta=True, version=pre_version)
+    # tombstones exist in the resolved state (read() filters them; scan
+    # the raw files to count them)
+    man = table.manifest()
+    files = [f for fl in man["buckets"].values() for f in fl]
+    raw = table._read_files(man, files)
+    resolved = table._resolve(raw)
+    n_tomb = resolved.filter("_deleted").count()
+    assert n_tomb > 0
+
+    r = table.vacuum_tombstones(min_lsn=SPEC.n_events + 1)
+    man2 = table.manifest()
+    files2 = [f for fl in man2["buckets"].values() for f in fl]
+    raw2 = table._read_files(man2, files2)
+    assert raw2.filter("_deleted").count() == 0          # all expired
+    assert table_state(table.read()) == oracle_state     # live rows intact
+    assert table_state(table.read(version=pre_version)) == oracle_state  # time travel
+    assert r["version"] == pre_version + 1

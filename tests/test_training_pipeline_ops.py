@@ -718,3 +718,17 @@ def test_ivf_partitioned_matches_exact(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "cell" in plan
+
+
+def test_minhash_bucket_cap_bounds_skewed_buckets(spark):
+    """k exact-dup docs share identical signatures -> one (band, key)
+    bucket per band with k members; max_bucket_size excludes the
+    mega-buckets (bounded work) and keeps under-cap clusters."""
+    rows = [(f"s{i:02d}", [1, 2, 3, 4, 5]) for i in range(25)]       # mega cluster
+    rows += [("u1", [9, 10, 11, 12]), ("u2", [9, 10, 11, 12])]
+    docs = spark.createDataFrame(rows, "doc_id string, word_ids array<bigint>")
+    uncapped = ds.minhash_lsh_pairs(docs, jaccard_threshold=0.9)
+    capped = ds.minhash_lsh_pairs(docs, jaccard_threshold=0.9, max_bucket_size=5)
+    assert uncapped.count() == 25 * 24 // 2 + 1
+    got = {(r["id_l"], r["id_r"]) for r in capped.collect()}
+    assert got == {("u1", "u2")}
