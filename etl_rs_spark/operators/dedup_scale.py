@@ -31,6 +31,24 @@ from pyspark.sql.window import Window
 from etl_rs_spark.operators.text import HASH_P, hash_params, words
 
 
+def cap_group_size(
+    df: DataFrame, cols: tuple[str, ...], cap: int | None
+) -> DataFrame:
+    """The shared skew guard of every blocking operator here: drop ALL
+    rows of any ``cols`` group with more than ``cap`` members (an
+    over-full block means the blocking key under-splits — pay bounded
+    recall, never O(k^2) pairs). ``cap=None`` is a no-op. One window
+    count over already-shuffled small rows."""
+    if cap is None:
+        return df
+    w = Window.partitionBy(*cols)
+    return (
+        df.withColumn("_grpsize", F.count(F.lit(1)).over(w))
+        .filter(F.col("_grpsize") <= cap)
+        .drop("_grpsize")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -264,13 +282,7 @@ def minhash_lsh_pairs(
         id_col, F.explode(F.array(*[band_key(bi) for bi in range(bands)])).alias("_b")
     ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
 
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "key")
-        banded = (
-            banded.withColumn("_bsize", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsize") <= max_bucket_size)
-            .drop("_bsize")
-        )
+    banded = cap_group_size(banded, ("band", "key"), max_bucket_size)
 
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
@@ -419,16 +431,10 @@ def simhash_pairs(
         id_col, "_fp", F.explode(F.array(*band_structs)).alias("_b")
     ).select(id_col, "_fp", F.col("_b.band").alias("band"), F.col("_b.key").alias("key"))
 
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "key")
-        banded = (
-            banded.withColumn("_bsize", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsize") <= max_bucket_size)
-            .drop("_bsize")
-        )
+    banded = cap_group_size(banded, ("band", "key"), max_bucket_size)
 
     l, r = banded.alias("l"), banded.alias("r")
-    hamming = _popcount_bigint(F.col("l._fp").bitwiseXOR(F.col("r._fp")), bits)
+    hamming = _popcount_bigint(F.col("l._fp").bitwiseXOR(F.col("r._fp")))
     return (
         l.join(
             r,
@@ -446,7 +452,7 @@ def simhash_pairs(
     )
 
 
-def _popcount_bigint(col: Column, bits: int) -> Column:
+def _popcount_bigint(col: Column) -> Column:
     """Popcount via the JVM's Long.bitCount — exact for the full 62-bit
     fingerprint range (the old pow(2, j) double division broke above
     2^53) and whole-stage-codegen'd, not an interpreted array fold."""
@@ -532,16 +538,9 @@ def ngram_jaccard_pairs(
         F.col(id_col), "_blk", F.size("_sh").alias("_n"),
         F.explode_outer("_sh").alias("_s"),
     ).filter(F.col("_s").isNotNull())
-    if max_doc_freq is not None:
-        # document frequency per (block, shingle) — shingles are distinct
-        # per doc, so the window count IS the df. One extra pass over the
-        # postings (already shuffled small rows), never over content.
-        w = Window.partitionBy("_blk", "_s")
-        postings = (
-            postings.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
+    # document frequency per (block, shingle) — shingles are distinct
+    # per doc, so the group count IS the df
+    postings = cap_group_size(postings, ("_blk", "_s"), max_doc_freq)
     l, r = postings.alias("l"), postings.alias("r")
     return (
         l.join(

@@ -425,6 +425,8 @@ def lsh_topk_partitioned(
                 f"dim explicitly for layouts written by other tools"
             )
         vec_col = vec_col or "embedding"
+    # persist: the probe-bucket plan feeds both the wanted-buckets
+    # collect and the probe join — cache the query-batch-sized result
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
@@ -432,7 +434,7 @@ def lsh_topk_partitioned(
         F.explode(
             lsh_probe_buckets(F.col(vec_col), n_planes, dim, n_probe)
         ).alias("bucket"),
-    )
+    ).persist()
     wanted = sorted({int(r["bucket"]) for r in q.select("bucket").distinct().collect()})
     c = (
         spark.read.parquet(path)
@@ -489,10 +491,9 @@ def write_ivf_partitioned(
     cent_df = _cent_frame(corpus.sparkSession, cents)
     assigned = _assign_cells(
         corpus.select(id_col, vec_col), cent_df, 1, id_col, vec_col
-    ).withColumnRenamed("cell", "cell_part")
+    )
     (
-        assigned.withColumnRenamed("cell_part", "cell")
-        .write.partitionBy("cell")
+        assigned.write.partitionBy("cell")
         .mode("overwrite")
         .parquet(path)
     )
@@ -527,10 +528,14 @@ def ivf_topk_partitioned(
     cents = [[int(x) for x in c] for c in meta["centroids"]]
     cent_df = _cent_frame(spark, cents)
 
+    # persist: the assignment plan (broadcast-centroid cross join +
+    # window) is executed once for the wanted-cells collect and once in
+    # the probe join below — cache the query-batch-sized result instead
+    # of computing it twice
     q_cells = _assign_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
         cent_df, n_probe, "query_id", vec_col,
-    ).withColumnsRenamed({vec_col: "_qv"}).withColumn("_qn", norm(F.col("_qv")))
+    ).withColumnsRenamed({vec_col: "_qv"}).withColumn("_qn", norm(F.col("_qv"))).persist()
     wanted = sorted({int(r["cell"]) for r in q_cells.select("cell").distinct().collect()})
     c = (
         spark.read.parquet(path)
@@ -754,13 +759,9 @@ def embedding_near_dup_pairs(
         id_col, "_v", "_n",
         F.col("_b.band").alias("_band"), F.col("_b.key").alias("_bucket"),
     )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("_band", "_bucket")
-        banded = (
-            banded.withColumn("_bsize", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsize") <= max_bucket_size)
-            .drop("_bsize")
-        )
+    from etl_rs_spark.operators.dedup_scale import cap_group_size
+
+    banded = cap_group_size(banded, ("_band", "_bucket"), max_bucket_size)
     score = F.round(
         _cosine_precomputed(
             F.col("l._v"), F.col("r._v"), F.col("l._n"), F.col("r._n")

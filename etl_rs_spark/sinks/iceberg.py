@@ -41,9 +41,12 @@ COMMITTED_LEDGER_CAP = 256
 
 
 def _sql_str(value: str) -> str:
-    """Escape a value for embedding in a single-quoted SQL literal
-    (Spark SQL doubles embedded single quotes)."""
-    return value.replace("'", "''")
+    """Escape a value for embedding in a single-quoted Spark SQL
+    literal: backslashes FIRST (Spark's default parser processes
+    backslash escapes inside string literals, so a lone ``\\"`` from a
+    JSON-encoded double quote would collapse and corrupt the stored
+    JSON), then single quotes doubled."""
+    return value.replace("\\", "\\\\").replace("'", "''")
 
 
 def create_table_sql(
@@ -153,15 +156,11 @@ class IcebergTable:
     ) -> dict:
         if self.is_committed(batch_key):
             return {"skipped": True}
-        if callable(offsets):  # interface parity with LakehouseTable
-            offsets = offsets()
         prev = self._props()
         committed = (json.loads(prev.get("replay.committed", "[]"))
                      + [batch_key])[-COMMITTED_LEDGER_CAP:]
         merged_offsets = {int(k): int(v) for k, v in
                           json.loads(prev.get("replay.offsets", "{}")).items()}
-        for p, o in (offsets or {}).items():
-            merged_offsets[int(p)] = max(merged_offsets.get(int(p), -1), int(o))
 
         # deterministic view name: Python's hash() is per-process salted
         # (a restart would compute a different name than the one a
@@ -178,8 +177,15 @@ class IcebergTable:
         # lakehouse-lite sink's tests pin; the batch guard is purely an
         # optimization to skip the work.)
         self.spark.sql(merge_sql(self.ident, view, self.key_col, cols))
+        # offsets and lineage callables resolve AFTER the MERGE (same
+        # contract as LakehouseTable) — a caller running the envelope
+        # aggregation concurrently keeps its overlap here too
         if callable(lineage):
             lineage = lineage()
+        if callable(offsets):
+            offsets = offsets()
+        for p, o in (offsets or {}).items():
+            merged_offsets[int(p)] = max(merged_offsets.get(int(p), -1), int(o))
         # property VALUES are single-quote-escaped: a batch key like
         # "seg-0'1" must not break (or inject into) the statement
         offsets_json = json.dumps({str(k): v for k, v in merged_offsets.items()})

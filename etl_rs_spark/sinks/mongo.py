@@ -96,7 +96,12 @@ class MongoSink:
         try:
             self.writer(df, mode).save()
         except Exception as e:  # connector jar missing -> actionable error
-            if "mongodb" in str(e) or "DATA_SOURCE_NOT_FOUND" in str(e):
+            # match ONLY the missing-data-source error shapes: a bare
+            # 'mongodb' substring would also match any connectivity /
+            # auth failure (the URI echoes into those messages) and
+            # mislabel it as a classpath problem
+            msg = str(e)
+            if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg:
                 raise RuntimeError(
                     "Mongo Spark Connector not on the classpath; ship "
                     "org.mongodb.spark:mongo-spark-connector to use "

@@ -109,24 +109,28 @@ def kafka_batch_options(
     partition: int,
     start: int,
     end: int,
-    n_partitions: int | None = None,
 ) -> dict[str, str]:
-    """Option map for a bounded offset-range read of ONE partition.
+    """Option map for a bounded offset-range read of ONE partition,
+    via ``assign`` mode — the consumer is assigned EXACTLY the target
+    TopicPartition (the reference consumer's ``assign`` +
+    offset-range poll, kafka.rs:110-140), so the specific-offset maps
+    name only that partition and nothing else is ever contacted.
 
-    Spark's Kafka source requires EVERY TopicPartition of the topic to
-    appear when startingOffsets carries specific offsets, so all
-    ``n_partitions`` are pinned explicitly (``n_partitions`` defaults to
-    enough to cover ``partition``; pass the topic's real partition count
-    on a live cluster). Non-target partitions are pinned to the EMPTY
-    range start==end==0 — an empty range reads nothing, so no data
-    moves for them (-1 in endingOffsets would mean 'latest', i.e. a
-    full read then a client-side filter, not 'none')."""
-    n = n_partitions if n_partitions is not None else partition + 1
-    if partition >= n:
-        raise ValueError(f"partition {partition} outside n_partitions={n}")
-    starting = {p: (start if p == partition else 0) for p in range(n)}
-    ending = {p: (end + 1 if p == partition else 0) for p in range(n)}
-    return kafka_reader_options(cfg, starting, ending)
+    This sidesteps both failure modes of pinning under ``subscribe``:
+    a partial specific-offset map is rejected by the connector
+    ('you must specify all TopicPartitions'), and any fixed pin for
+    non-target partitions either references offsets retention may have
+    aged out (0/0) or isn't allowed in batch startingOffsets (-1 =
+    latest). With assign there are no non-target partitions at all."""
+    if partition < 0:
+        raise ValueError(f"partition must be >= 0, got {partition}")
+    return {
+        "kafka.bootstrap.servers": cfg.bootstrap_servers,
+        "assign": json.dumps({cfg.topic: [partition]}),
+        "startingOffsets": json.dumps({cfg.topic: {str(partition): start}}),
+        "endingOffsets": json.dumps({cfg.topic: {str(partition): end + 1}}),
+        "failOnDataLoss": "true" if cfg.fail_on_data_loss else "false",
+    }
 
 
 def kafka_batch_source(
@@ -135,17 +139,13 @@ def kafka_batch_source(
     partition: int,
     start: int,
     end: int,
-    n_partitions: int | None = None,
 ) -> DataFrame:
     """Bounded offset-range read of ONE partition — the reference's
     read_messages_from_offset_range (end offset exclusive in Kafka;
-    the reference's inclusive `end` maps to end+1). Offset pinning per
-    ``kafka_batch_options``; the residual filter is belt-and-braces."""
-    opts = kafka_batch_options(cfg, partition, start, end, n_partitions)
-    return (
-        spark.read.format("kafka").options(**opts).load()
-        .filter(F.col("partition") == partition)
-    )
+    the reference's inclusive `end` maps to end+1). Assign-mode offset
+    pinning per ``kafka_batch_options``."""
+    opts = kafka_batch_options(cfg, partition, start, end)
+    return spark.read.format("kafka").options(**opts).load()
 
 
 def kafka_stream_source(spark: SparkSession, cfg: KafkaConfig) -> DataFrame:

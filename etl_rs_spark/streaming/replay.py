@@ -22,9 +22,9 @@ at-least-once auto-commit to exactly-once).
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
+from pyspark import InheritableThread
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +34,33 @@ from etl_rs_spark.sinks.lakehouse import LakehouseTable
 from etl_rs_spark.streaming.schema_evolution import ColumnMapping
 
 ENVELOPE = ["op", "lsn", "partition", "offset"]
+
+
+class _AsyncCollect:
+    """Run one DataFrame collect on a pyspark InheritableThread: the
+    thread inherits the caller's job group / local properties (a plain
+    ThreadPoolExecutor worker would NOT under pinned-thread mode), so
+    cancelling the micro-batch's job group — e.g. ``query.stop()`` on a
+    streaming replay — also cancels this job instead of leaving an
+    orphan the shutdown must wait out."""
+
+    def __init__(self, df: DataFrame):
+        self._rows = None
+        self._exc: BaseException | None = None
+        self._thread = InheritableThread(target=self._run, args=(df,), daemon=True)
+        self._thread.start()
+
+    def _run(self, df: DataFrame) -> None:
+        try:
+            self._rows = df.collect()
+        except BaseException as e:  # surfaced on result()
+            self._exc = e
+
+    def result(self):
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._rows
 
 
 @dataclass
@@ -90,19 +117,19 @@ def process_batch(
     # redelivery re-sends an OLD offset into a later batch, making the
     # batch's per-partition offset set non-contiguous.)
     #
-    # The collect is submitted on a SEPARATE thread so this ~O(events)
-    # envelope job runs CONCURRENTLY with the main merge job instead of
-    # serializing in front of it (profiled at ~25% of merge wall-time
-    # at 8M events on 32 cores). Both offsets and lineage are consumed
-    # only at manifest-commit time, after the data write — merge()
-    # accepts callables for exactly this.
-    per_part_query = events.groupBy("partition").agg(
-        F.count(F.lit(1)).alias("rows_in"),
-        (F.count(F.lit(1)) - F.count_distinct("offset")).alias("dups"),
-        F.max("offset").alias("max_offset"),
+    # The collect runs on a SEPARATE (job-group-inheriting) thread so
+    # this ~O(events) envelope job runs CONCURRENTLY with the main
+    # merge job instead of serializing in front of it (profiled at ~25%
+    # of merge wall-time at 8M events on 32 cores). Both offsets and
+    # lineage are consumed only at manifest-commit time, after the data
+    # write — merge() accepts callables for exactly this.
+    per_part_fut = _AsyncCollect(
+        events.groupBy("partition").agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            (F.count(F.lit(1)) - F.count_distinct("offset")).alias("dups"),
+            F.max("offset").alias("max_offset"),
+        )
     )
-    pool = ThreadPoolExecutor(max_workers=1)
-    per_part_fut = pool.submit(per_part_query.collect)
 
     def offsets_fn() -> dict[int, int]:
         return {
@@ -167,7 +194,6 @@ def process_batch(
             lineage=lineage_fn if cfg.collect_lineage else {},
         )
     finally:
-        pool.shutdown(wait=True)
         if cache_winners:
             winners.unpersist()
     return result

@@ -80,22 +80,21 @@ def test_kafka_envelope_round_trip_with_evolution(spark):
     assert parsed.filter(F.col("tag").isNotNull()).count() == n_tagged
 
 
-def test_kafka_batch_source_pins_other_partitions():
-    """ALL topic partitions are pinned (the connector rejects a partial
-    specific-offset map), and non-target partitions get the EMPTY range
-    start==end==0 so they move no data (-1 would mean 'latest' = a full
-    read, not 'none')."""
-    opts = K.kafka_batch_options(CFG, partition=2, start=50, end=60, n_partitions=5)
-    s = json.loads(opts["startingOffsets"])["binlog"]
-    e = json.loads(opts["endingOffsets"])["binlog"]
-    assert s == {"0": 0, "1": 0, "2": 50, "3": 0, "4": 0}
-    assert e == {"0": 0, "1": 0, "2": 61, "3": 0, "4": 0}
-    # every partition present in both maps, and n_partitions defaults
-    # to covering the target when the topic size isn't supplied
-    opts2 = K.kafka_batch_options(CFG, partition=1, start=7, end=9)
-    assert json.loads(opts2["startingOffsets"])["binlog"] == {"0": 0, "1": 7}
+def test_kafka_batch_source_assigns_single_partition():
+    """Bounded single-partition reads use ASSIGN mode: only the target
+    TopicPartition is assigned, so the specific-offset maps cover
+    exactly it — no partial-map rejection ('you must specify all
+    TopicPartitions'), no non-target pins that could reference
+    retention-aged offsets, no data movement for other partitions."""
+    opts = K.kafka_batch_options(CFG, partition=2, start=50, end=60)
+    assert json.loads(opts["assign"]) == {"binlog": [2]}
+    assert "subscribe" not in opts
+    assert json.loads(opts["startingOffsets"]) == {"binlog": {"2": 50}}
+    # reference's inclusive end -> Kafka's exclusive end+1
+    assert json.loads(opts["endingOffsets"]) == {"binlog": {"2": 61}}
+    assert opts["failOnDataLoss"] == "false"
     with pytest.raises(ValueError):
-        K.kafka_batch_options(CFG, partition=3, start=0, end=1, n_partitions=2)
+        K.kafka_batch_options(CFG, partition=-1, start=0, end=1)
 
 
 # -- jdbc -------------------------------------------------------------------
