@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -101,7 +102,15 @@ class LakehouseTable:
                 version=0,
             )
         man = self.manifest()
+        # the MANIFEST is authoritative for layout on an existing table:
+        # constructor arguments describe table CREATION; opening with a
+        # different n_buckets (e.g. a job hardcoding 32 against a
+        # 16-bucket table) must not make merge() compute touched buckets
+        # in the wrong bucket space — existing rows would sit in
+        # unscanned buckets and never LWW-resolve (silent duplicates).
         self.mode = man.get("mode", "cow")
+        self.key_col = man.get("key_col", key_col)
+        self.n_buckets = int(man.get("n_buckets", n_buckets))
         # refuse to open a table bucketed under a different hash family —
         # merging into it would scan the wrong buckets (see BUCKET_HASH).
         # Manifests predating the field were written by the murmur3 code
@@ -190,6 +199,18 @@ class LakehouseTable:
             return df
         return df.repartition(self.n_buckets, F.col("_bucket"))
 
+    def _new_data_dir(self, version: int) -> str:
+        """Writer-unique data directory for one commit attempt:
+        ``data/v{N}-{uuid}``. Two writers racing the same target version
+        then write to DIFFERENT directories, so the loser's
+        mode('overwrite') cannot delete files a winner's committed
+        manifest already references — the os.link manifest guard stays
+        the sole arbiter (Iceberg gets the same property from unique
+        data file names). A losing attempt leaves an orphan directory;
+        harmless, removable by any GC that keeps directories referenced
+        by retained manifests."""
+        return os.path.join(self.path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+
     def _full_schema_ddl(self, man: dict) -> str:
         cols = [f"`{self.key_col}` string"]
         cols += [f"`{n}` {t}" for n, t in man["payload_schema"]]
@@ -261,13 +282,25 @@ class LakehouseTable:
         payload_cols = [
             c for c in changes.columns if c != self.key_col and c not in ENVELOPE_COLS
         ]
-        # additive schema evolution: append never-seen payload columns
+        # additive schema evolution: append never-seen payload columns.
+        # A KNOWN column arriving with a DIFFERENT type is rejected
+        # loudly: writing it as-is would commit mixed-type files that
+        # poison every later mergeSchema read ("Failed to merge
+        # incompatible data types") after the bad batch is already
+        # durable — evolution here is additive, never type-changing.
         known = dict(man["payload_schema"])
         chg_types = dict(changes.dtypes)
         new_schema = list(man["payload_schema"])
         for c in payload_cols:
             if c not in known:
                 new_schema.append([c, chg_types[c]])
+            elif chg_types[c] != known[c]:
+                raise ValueError(
+                    f"payload column {c!r} arrives as {chg_types[c]} but the "
+                    f"table records {known[c]}; additive evolution cannot "
+                    f"change a column's type — cast the batch or add a new "
+                    f"column"
+                )
         man["payload_schema"] = new_schema
         target_payload = [n for n, _ in new_schema]
 
@@ -319,7 +352,7 @@ class LakehouseTable:
             merged = merged.withColumn("_bucket", self._bucket(F.col(self.key_col)))
 
         version = man["version"] + 1
-        out_dir = os.path.join(self.path, "data", f"v{version}")
+        out_dir = self._new_data_dir(version)
         # aligned shuffle conf -> no repartition before the bucketed
         # write: the batch arrives key-shuffled (LWW agg or merge join),
         # and _bucket is the same Murmur3 family as that shuffle, so
@@ -387,7 +420,7 @@ class LakehouseTable:
         resolved = resolved.withColumn("_bucket", self._bucket(F.col(self.key_col)))
 
         version = man["version"] + 1
-        out_dir = os.path.join(self.path, "data", f"v{version}")
+        out_dir = self._new_data_dir(version)
         # _resolve's groupBy(key) already co-locates buckets (same
         # Murmur3 family as _bucket) when the shuffle conf is aligned;
         # otherwise one repartition guards the file count
@@ -437,7 +470,7 @@ class LakehouseTable:
         ).withColumn("_bucket", self._bucket(F.col(self.key_col)))
 
         version = man["version"] + 1
-        out_dir = os.path.join(self.path, "data", f"v{version}")
+        out_dir = self._new_data_dir(version)
         (
             self._bucket_colocated(keep).write.partitionBy("_bucket")
             .mode("overwrite")

@@ -77,10 +77,6 @@ class BinlogSpec:
     hash_mode: str = "xxhash64"
 
 
-def _h(spec: BinlogSpec, *cols: Column | str) -> Column:
-    return F.xxhash64(*cols, F.lit(spec.seed))
-
-
 def _fold(seed: int, *cols: Column | int) -> Column:
     """Portable hash: left fold (acc * B + (x mod p)) mod p. Every
     intermediate stays < p*B ~ 2^51 (bigint-safe, ANSI-clean)."""

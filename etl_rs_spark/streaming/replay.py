@@ -22,6 +22,7 @@ at-least-once auto-commit to exactly-once).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark import InheritableThread
@@ -155,8 +156,13 @@ def process_batch(
             F.sum(F.when(~F.coalesce(F.col("_valid"), F.lit(False)), 1).otherwise(0)).alias("invalid"),
         )
     valid = flagged.filter("_valid").drop("_valid", "partition")
-    lww = lww_salted if cfg.salted_lww else lww_agg
-    winners = lww(valid, key=table.key_col, order=("lsn", "offset"))
+    if cfg.salted_lww:
+        winners = lww_salted(
+            valid, key=table.key_col, order=("lsn", "offset"),
+            salt_buckets=cfg.salt_buckets,
+        )
+    else:
+        winners = lww_agg(valid, key=table.key_col, order=("lsn", "offset"))
     winners = normalize_events(winners, vocab=cfg.vocab, max_len=cfg.max_len).drop("_valid")
     if cfg.collect_lineage:
         obs_win = Observation()
@@ -166,10 +172,14 @@ def process_batch(
             F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("upserts"),
         )
 
-    # COW on a non-empty table consumes winners twice (touched-bucket
+    # COW on a NON-EMPTY table consumes winners twice (touched-bucket
     # scan + merge join) — cache the small post-LWW frame only there;
-    # the MOR/bulk path is single-consumer and streams straight through.
-    cache_winners = table.mode == "cow"
+    # the MOR path AND the empty-table bulk fast path (initial load)
+    # are single-consumer and stream straight through, so persisting
+    # would cache the entire normalized batch for nothing.
+    cache_winners = table.mode == "cow" and any(
+        table.manifest()["buckets"].values()
+    )
     if cache_winners:
         winners = winners.persist()
 
@@ -208,11 +218,21 @@ def replay_segments(
     batch_prefix: str = "batch",
 ) -> list[dict]:
     """Bounded replay: each segment directory is one MERGE batch, in
-    order — the file-based analogue of offset-range Kafka consumption."""
+    order — the file-based analogue of offset-range Kafka consumption.
+
+    The batch key folds in a digest of the segment's ABSOLUTE path:
+    ``write_segments`` always names directories ``seg-00000..``, so a
+    basename-only key would collide across different binlog roots and
+    silently skip the second binlog's batches as already-committed.
+    Same path -> same key, so exactly-once resume still skips."""
+    import hashlib
+
     results = []
     for seg in segment_paths:
         events = spark.read.option("mergeSchema", True).parquet(seg)
-        key = f"{batch_prefix}:{seg.rstrip('/').rsplit('/', 1)[-1]}"
+        norm_path = os.path.abspath(seg.rstrip("/"))
+        digest = hashlib.md5(norm_path.encode()).hexdigest()[:8]
+        key = f"{batch_prefix}:{norm_path.rsplit('/', 1)[-1]}:{digest}"
         results.append(process_batch(table, events, key, mapping, cfg))
     return results
 

@@ -475,3 +475,54 @@ def test_vacuum_tombstones_drops_only_expired(spark, tmp_path, binlog, oracle_st
     assert table_state(table.read()) == oracle_state     # live rows intact
     assert table_state(table.read(version=pre_version)) == oracle_state  # time travel
     assert r["version"] == pre_version + 1
+
+
+def test_reopen_adopts_manifest_layout(spark, tmp_path, binlog, oracle_state):
+    """The manifest is authoritative on open: reopening a 4-bucket
+    table with n_buckets=32 must NOT merge in a different bucket space
+    (which would leave old rows unresolved = silent duplicates)."""
+    path, segs, _ = binlog
+    t1 = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=4)
+    replay_segments(spark, t1, segs[:2], cfg=CFG)
+    t2 = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=32, key_col="wrong")
+    assert t2.n_buckets == 4 and t2.key_col == "doc_id"
+    replay_segments(spark, t2, segs[2:], cfg=CFG)
+    assert table_state(t2.read()) == oracle_state
+    # no duplicate keys survived the reopen
+    dup = t2.read().groupBy("doc_id").count().filter("count > 1").count()
+    assert dup == 0
+
+
+def test_merge_rejects_type_changing_evolution(spark, tmp_path):
+    """A known payload column arriving with a different type is refused
+    before anything is written — mixed-type files would poison every
+    later mergeSchema read after the batch is already durable."""
+    t = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=2)
+    base = spark.createDataFrame(
+        [("d1", "insert", 1, 1, 5)], "doc_id string, op string, lsn long, offset long, x int"
+    )
+    t.merge(base, "b1")
+    bad = spark.createDataFrame(
+        [("d2", "insert", 2, 2, "five")], "doc_id string, op string, lsn long, offset long, x string"
+    )
+    with pytest.raises(ValueError, match="additive evolution"):
+        t.merge(bad, "b2")
+    assert not t.is_committed("b2")  # nothing durable from the bad batch
+    assert [r["x"] for r in t.read().collect()] == [5]
+
+
+def test_segment_keys_distinct_across_roots(spark, tmp_path):
+    """Segments from DIFFERENT binlog roots share basenames
+    (seg-00000..); the batch key must still distinguish them, or the
+    second binlog is silently skipped as already-committed."""
+    spec_a = BinlogSpec(n_events=300, n_docs=40, n_partitions=2, vocab=VOCAB, seed=1)
+    spec_b = BinlogSpec(n_events=300, n_docs=40, n_partitions=2, vocab=VOCAB, seed=2)
+    segs_a = write_segments(gen_events(spark, spec_a), str(tmp_path / "a"), 2, 300)
+    segs_b = write_segments(gen_events(spark, spec_b), str(tmp_path / "b"), 2, 300)
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=2)
+    ra = replay_segments(spark, table, segs_a, cfg=CFG)
+    rb = replay_segments(spark, table, segs_b, cfg=CFG)
+    assert all(not r["skipped"] for r in ra + rb)  # b NOT mistaken for a
+    # replaying the same root again IS skipped (exactly-once resume)
+    again = replay_segments(spark, table, segs_a, cfg=CFG)
+    assert all(r["skipped"] for r in again)
