@@ -641,7 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # hashed word-id arrays straight off the tokenization — no vocab build.
 _WORDS_CTE = f"""
 words AS (
-  SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS ws
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
   FROM documents
 ),
 ids AS (
@@ -997,7 +998,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q14_doc_token_stats"] = """
         WITH w AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws FROM documents
         )
         SELECT doc_id,
                len(ws) AS n_words,
@@ -1009,7 +1010,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q15_doc_quality"] = f"""
         WITH w AS (
-          SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+          SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws FROM documents
         )
         SELECT doc_id,
                round(CAST(len(list_intersect(list_distinct(ws), {_STOP_SQL})) AS DOUBLE)
@@ -1022,7 +1023,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q16_doc_fingerprint"] = f"""
         WITH w AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+          SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws FROM documents
         )
         SELECT doc_id,
                CAST(list_sum(list_transform(range(1, len(ws) + 1), i ->
@@ -1239,7 +1240,8 @@ def oracle_sql() -> dict[str, str]:
     sql["q32_lang_id"] = f"""
         WITH prof(lang_cand, word, weight) AS (VALUES {prof_rows}),
         w AS (
-          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+          SELECT doc_id, lower(unnest(list_filter(
+                 string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS word
           FROM documents
         ),
         scored AS (

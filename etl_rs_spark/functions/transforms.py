@@ -190,7 +190,12 @@ civilite_udf = string_udf(civilite_py)
 # ---------------------------------------------------------------------------
 # T4 email — reference: crates/libs/lib-etl/src/transforms/email.rs
 
-_EMAIL_RE = r"^[A-Z0-9._%+-]+@[A-Z0-9.-]+\.[A-Z]{2,}$"
+# end-of-TEXT anchored (\z Java / \Z Python), not '$': both engines'
+# '$' also matches before a trailing newline, so 'A@B.FR\n' would
+# validate and the newline survive into the "normalized" value — the
+# Rust reference regex ('$' = end of haystack) rejects it.
+_EMAIL_RE_SQL = "^[A-Z0-9._%+-]+@[A-Z0-9.-]+\\.[A-Z]{2,}\\z"
+_EMAIL_RE_PY = r"^[A-Z0-9._%+-]+@[A-Z0-9.-]+\.[A-Z]{2,}\Z"
 
 
 def email_expr(col: Column) -> Column:
@@ -209,7 +214,7 @@ def email_expr(col: Column) -> Column:
     # single label and -2 is out of bounds)
     ext_len = F.length(F.try_element_at(labels, F.lit(-1)))
     valid = (
-        c.rlike(_EMAIL_RE)
+        c.rlike(_EMAIL_RE_SQL)
         & (F.length(F.try_element_at(labels, F.lit(-2))) >= 2)
         & (ext_len >= 2)
         & (ext_len <= 4)
@@ -227,7 +232,7 @@ def email_py(email: str | None) -> str | None:
     for ch in ("'", "’", "&"):
         email = email.replace(ch, "")
     email = email.replace("@.", "@")
-    if not re.match(_EMAIL_RE, email):
+    if not re.match(_EMAIL_RE_PY, email):
         return None
     parts = email.split("@")
     if len(parts) != 2:
@@ -253,7 +258,7 @@ def email_expr_py(email: str | None) -> str | None:
     email = re.sub(r"(?s)^(.*?)(?:['’&\s]+)", r"\1", email)
     email = re.sub(r"(?s)^(.*?)(?:@\.)", r"\1@", email)
     email = strip_accent_py(email)
-    if not re.match(_EMAIL_RE, email):
+    if not re.match(_EMAIL_RE_PY, email):
         return None
     local, domain = email.split("@", 1)
     labels = domain.split(".")
@@ -354,8 +359,10 @@ def siren_py(text: str | None) -> str | None:
 
 
 def _naf_shape(cleaned: Column) -> Column:
-    digits = F.regexp_extract(cleaned, r"^(\d{4})[a-zA-Z]$", 1)
-    letter = F.upper(F.regexp_extract(cleaned, r"^\d{4}([a-zA-Z])$", 1))
+    # \z (end of text), not '$': the cleaners here drop [.\-_,;] but a
+    # trailing newline survives and Java's '$' would match before it
+    digits = F.regexp_extract(cleaned, "^(\\d{4})[a-zA-Z]\\z", 1)
+    letter = F.upper(F.regexp_extract(cleaned, "^\\d{4}([a-zA-Z])\\z", 1))
     return F.when(digits != "", F.concat(digits, letter))
 
 
@@ -371,7 +378,7 @@ libelle_naf_expr = code_naf_expr  # identical logic, different column
 
 
 def _naf_shape_py(cleaned: str) -> str | None:
-    m = re.match(r"^(\d{4})([a-zA-Z])$", cleaned)
+    m = re.match(r"^(\d{4})([a-zA-Z])\Z", cleaned)
     return m.group(1) + m.group(2).upper() if m else None
 
 

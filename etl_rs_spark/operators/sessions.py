@@ -62,7 +62,9 @@ def session_stats(
     gap_minutes: float = 30.0,
     order_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Per-session rollup: event count, span seconds, first/last event."""
+    """Per-session rollup: ``n_events``, ``span_us`` (span in
+    MICROseconds — µs-exact across engines), ``session_start`` (first
+    event time)."""
     s = sessionize(df, user_col, ts_col, gap_minutes, order_cols)
     return s.groupBy(user_col, "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),

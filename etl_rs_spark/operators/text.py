@@ -31,9 +31,21 @@ def hash_params(i: int) -> tuple[int, int]:
 
 
 def words(col: Column | str) -> Column:
-    """Whitespace tokenization (the corpora here are space-separated)."""
+    """Whitespace tokenization (the corpora here are space-separated).
+
+    Empty tokens are filtered: Spark's split on an empty/whitespace-only
+    string yields [''], which would count as one word (n_words=1 for an
+    empty doc, so an ``n_words == 0`` empty-doc filter never fires).
+    The DuckDB oracles mirror the same list_filter."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+
+
+def _sum_word_len(w: Column) -> Column:
+    """Total character count over a token array — shared by token_stats
+    and quality_score so the (interpreted) ArrayAggregate reduction has
+    exactly one definition to tune."""
+    return F.aggregate(w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
 
 
 BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
@@ -50,15 +62,15 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token statistics: counts, average word length,
     type/token ratio. One narrow projection, no shuffle."""
     w = words(text_col)
+    # nullif guards: an EMPTY doc now has size 0 (see words()), and a
+    # bare division would error under ANSI mode — ratios are null there
+    n = F.nullif(F.size(w), F.lit(0))
     return df.withColumns(
         {
             "n_words": F.size(w).cast("int"),
             "n_distinct_words": F.size(F.array_distinct(w)).cast("int"),
-            "avg_word_len": F.aggregate(
-                w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-            )
-            / F.size(w),
-            "distinct_ratio": F.size(F.array_distinct(w)) / F.size(w),
+            "avg_word_len": _sum_word_len(w) / n,
+            "distinct_ratio": F.size(F.array_distinct(w)) / n,
         }
     )
 
@@ -86,7 +98,7 @@ def quality_score(
     n_stop = F.size(F.array_intersect(F.array_distinct(w), stop_arr))
     text = F.col(text_col)
     n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    avg_len = F.aggregate(w, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)) / n_words
+    avg_len = _sum_word_len(w) / F.nullif(n_words, F.lit(0))
     return df.withColumns(
         {
             "stopword_ratio": n_stop / F.greatest(F.size(F.array_distinct(w)), F.lit(1)),
@@ -120,13 +132,19 @@ def lang_id(
     lexicographically). Docs matching no profile word get lang_pred null.
     At 100 TB the explode is map-local and the join is broadcast; the
     only shuffle is the per-doc aggregation.
+
+    Tokens are lowercased before the join (profile words must be
+    lowercase — the defaults are): a sentence-initial 'The' must score
+    as 'the', or capitalized function words never match the profile.
     """
     profiles = profiles or DEFAULT_LANG_PROFILES
     spark = df.sparkSession
     rows = [(lang, w, float(wt)) for lang, p in profiles.items() for w, wt in p.items()]
     prof = spark.createDataFrame(rows, "lang_cand string, word string, weight double")
 
-    tokens = df.select(id_col, F.explode(words(text_col)).alias("word"))
+    tokens = df.select(id_col, F.explode(words(text_col)).alias("word")).select(
+        id_col, F.lower("word").alias("word")
+    )
     scored = (
         tokens.join(F.broadcast(prof), "word")
         .groupBy(id_col, "lang_cand")

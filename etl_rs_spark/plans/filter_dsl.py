@@ -94,6 +94,11 @@ def filter_to_column(flt) -> Column:
         if key == "$or":
             conds.append(filter_to_column(list(val)))
             continue
+        if key.startswith("$"):
+            # any other group op ('$and', a typo like '$Or') must fail
+            # HERE with the DSL's own error, not fall through to an
+            # unresolvable column named '$and' at plan time
+            raise FilterError(f"unsupported group op {key!r} (only '$or')")
         col = F.col(key)
         if isinstance(val, dict):
             for op, operand in val.items():

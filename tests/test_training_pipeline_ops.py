@@ -732,3 +732,29 @@ def test_minhash_bucket_cap_bounds_skewed_buckets(spark):
     assert uncapped.count() == 25 * 24 // 2 + 1
     got = {(r["id_l"], r["id_r"]) for r in capped.collect()}
     assert got == {("u1", "u2")}
+
+
+def test_words_empty_doc_and_lang_case(spark):
+    """Empty/whitespace-only docs tokenize to [] (not ['']), ratio
+    columns go null instead of dividing by zero (ANSI-safe), and
+    lang_id matches capitalized function words via lowercasing."""
+    df = spark.createDataFrame(
+        [("e1", ""), ("e2", "   "), ("d1", "The Dog And The Cat")],
+        "doc_id string, text string",
+    )
+    stats = {r["doc_id"]: r for r in tx.token_stats(df).collect()}
+    assert stats["e1"]["n_words"] == 0 and stats["e2"]["n_words"] == 0
+    assert stats["e1"]["avg_word_len"] is None
+    assert stats["d1"]["n_words"] == 5
+    q = {r["doc_id"]: r for r in tx.quality_score(df).collect()}
+    assert q["e1"]["quality_ok"] is False
+    lang = {r["doc_id"]: r["lang_pred"] for r in tx.lang_id(df).collect()}
+    assert lang["d1"] == "en"  # 'The'/'And' matched despite capitalization
+    assert lang["e1"] is None
+
+
+def test_filter_dsl_rejects_unknown_group_ops(spark):
+    from etl_rs_spark.plans.filter_dsl import FilterError, filter_to_column
+
+    with pytest.raises(FilterError, match="group op"):
+        filter_to_column({"$and": [{"id": 1}]})

@@ -234,3 +234,33 @@ def test_jdd_golden_e2e(spark):
         got = list(out[col])
         want = list(golden[col])
         assert got == want, f"column {col}: {got} != {want}"
+
+
+def test_validators_reject_trailing_newline(spark):
+    """'$' in both Java and Python regex matches BEFORE a trailing
+    newline; the reference's Rust '$' is end-of-text. The validators
+    anchor with \\z/\\Z so 'A@B.FR\\n' and '1234A\\n' are rejected (not
+    'validated' with the newline retained in the normalized value)."""
+    import etl_rs_spark.functions.transforms as T
+    from pyspark.sql import functions as F
+
+    assert T.email_py("JOHN@EXAMPLE.COM\n") is None
+    assert T.email_py("JOHN@EXAMPLE.COM") == "JOHN@EXAMPLE.COM"
+    # expr flavor: a LONE trailing newline is consumed by the first-only
+    # ['’&\s]+ strip (legitimate normalization)...
+    assert T.email_expr_py("A@EX.FR\n") == "A@EX.FR"
+    # ...but when an earlier whitespace run absorbs the first-only
+    # strip, the surviving trailing newline must fail validation
+    assert T.email_expr_py("A @EX.FR\n") is None
+    assert T.ape_py("6201Z\n") is None
+    assert T.ape_py("62.01Z") == "6201Z"
+    assert T.code_naf_py("1234a\n") is None
+
+    df = spark.createDataFrame(
+        [("A @EX.FR\n",), ("A @EX.FR",), ("B@EX.COMMM",)], "raw string"
+    )
+    got = [r["e"] for r in df.select(T.email_expr(F.col("raw")).alias("e")).collect()]
+    assert got == [None, "A@EX.FR", None]
+    df2 = spark.createDataFrame([("6201Z\n",), ("62.01Z",)], "raw string")
+    got2 = [r["a"] for r in df2.select(T.ape_expr(F.col("raw")).alias("a")).collect()]
+    assert got2 == [None, "6201Z"]
