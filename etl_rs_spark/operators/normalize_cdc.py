@@ -32,10 +32,16 @@ def valid_flag(df: DataFrame, vocab: int = 50257) -> DataFrame:
     ``normalize_events(...)._valid`` keeps, so LWW can run on raw
     payloads and the full normalize can wait until after the per-key
     winners are chosen — the O(events) hot path streams no new arrays."""
+    # coalesce: exists() over a NULL tokens array is NULL, and a
+    # three-valued _valid makes negative filters (~_valid) silently
+    # miss those rows; the pandas flavor yields a plain False
     return df.withColumn(
         "_valid",
-        (F.col("op") == "delete")
-        | F.exists("tokens", lambda t: (t >= 0) & (t < F.lit(vocab))),
+        F.coalesce(
+            (F.col("op") == "delete")
+            | F.exists("tokens", lambda t: (t >= 0) & (t < F.lit(vocab))),
+            F.lit(False),
+        ),
     )
 
 
@@ -50,9 +56,11 @@ def normalize_events(df: DataFrame, vocab: int = 50257, max_len: int = 2048) -> 
         "n_tok",
         F.when(F.col("tokens").isNotNull(), F.size("tokens")).cast("int"),
     )
+    # coalesce for the same reason as valid_flag: null tokens make
+    # n_tok null, and NULL-valued _valid breaks negative filters
     return df.withColumn(
         "_valid",
-        (F.col("op") == "delete") | (F.col("n_tok") > 0),
+        F.coalesce((F.col("op") == "delete") | (F.col("n_tok") > 0), F.lit(False)),
     )
 
 
@@ -74,7 +82,10 @@ def normalize_events_pandas(
             def clean(t):
                 if t is None:
                     return None
-                return [int(x) for x in t if 0 <= x < vocab][:max_len]
+                # null ELEMENTS are legal in array<int>; the native
+                # flavor's F.filter drops them (null predicate), so
+                # drop them here too instead of crashing on 0 <= None
+                return [int(x) for x in t if x is not None and 0 <= x < vocab][:max_len]
 
             toks = pdf["tokens"].map(clean)
             toks[is_delete] = None

@@ -175,16 +175,39 @@ def write_segments(
     topic segments. If ``drop_tag_before_evolve`` is set, segments that
     end before that lsn are written WITHOUT the tag column (the physical
     schema really evolves mid-stream)."""
+    import os
+
     step = (max_lsn + n_segments - 1) // n_segments
-    seg_paths = []
-    for s in range(n_segments):
+    seg_paths = [f"{path}/seg-{s:05d}" for s in range(n_segments)]
+    if drop_tag_before_evolve is None:
+        # ONE pass: the generator is a lazy spark.range plan, so the
+        # old per-segment filter loop re-executed every hash for ALL
+        # events once per segment (n_segments x the full generation
+        # cost). A dynamic partitionBy writes all segments in a single
+        # job; the partition column is dropped from the files, so each
+        # renamed directory reads back with the original schema.
+        seg_idx = F.floor((F.col("lsn") - 1) / F.lit(step)).cast("int")
+        (
+            df.withColumn("_seg", F.least(seg_idx, F.lit(n_segments - 1)))
+            .write.partitionBy("_seg")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        for s, seg_path in enumerate(seg_paths):
+            part_dir = f"{path}/_seg={s}"
+            if os.path.isdir(part_dir):
+                os.rename(part_dir, seg_path)
+            else:  # empty segment: write a schema-bearing empty dir
+                df.filter(F.lit(False)).write.mode("overwrite").parquet(seg_path)
+        return seg_paths
+    # schema-evolving variant (test fixtures): per-segment schemas
+    # genuinely differ, so each segment is its own write
+    for s, seg_path in enumerate(seg_paths):
         lo, hi = s * step + 1, min((s + 1) * step, max_lsn)
         seg = df.filter((F.col("lsn") >= lo) & (F.col("lsn") <= hi))
-        if drop_tag_before_evolve is not None and hi < drop_tag_before_evolve and "tag" in df.columns:
+        if hi < drop_tag_before_evolve and "tag" in df.columns:
             seg = seg.drop("tag")
-        seg_path = f"{path}/seg-{s:05d}"
         seg.write.mode("overwrite").parquet(seg_path)
-        seg_paths.append(seg_path)
     return seg_paths
 
 

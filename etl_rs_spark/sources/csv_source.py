@@ -29,8 +29,10 @@ def read_reference_csv(
     if schema:
         reader = reader.schema(schema)
     df = reader.csv(path)
-    # strip a UTF-8 BOM that some fixture files carry on the first header
-    first = df.columns[0]
-    if first.startswith("﻿"):
-        df = df.withColumnRenamed(first, first.lstrip("﻿"))
+    # strip a UTF-8 BOM that some fixture files carry on the first
+    # header (guarded: an empty/comment-only file infers zero columns)
+    if df.columns:
+        first = df.columns[0]
+        if first.startswith("﻿"):
+            df = df.withColumnRenamed(first, first.lstrip("﻿"))
     return df

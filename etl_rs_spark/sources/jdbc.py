@@ -23,7 +23,7 @@ run unchanged against any JDBC driver on the classpath.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -33,7 +33,9 @@ class JdbcConfig:
     url: str                      # jdbc:postgresql://host:5432/db
     table: str                    # table or "(subquery) AS t"
     user: str | None = None
-    password: str | None = None
+    #: repr=False: the credential must not leak into logs/tracebacks
+    #: that format the config
+    password: str | None = field(default=None, repr=False)
     driver: str = "org.postgresql.Driver"
     fetch_size: int = 10_000      # cursor batch per round trip (scan)
     batch_size: int = 10_000      # rows per INSERT batch (sink)
@@ -80,6 +82,11 @@ def stride_predicates(
     first slice — matches Spark's own JDBCRelation slicing semantics."""
     if n <= 0:
         raise ValueError("n must be positive")
+    if n == 1:
+        # one partition = the whole table, like Spark's own slicing —
+        # a bounded predicate here would silently DROP rows outside a
+        # stale [lower, upper] estimate
+        return ["1=1"]
     span = max(upper - lower + 1, 1)
     step = (span + n - 1) // n
     preds = []

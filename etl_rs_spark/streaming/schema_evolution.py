@@ -52,11 +52,19 @@ class ColumnMapping:
 
     def apply(self, df: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
         out = []
+        targets = {m.target for m in self.columns}
         for m in self.columns:
             if m.source in df.columns:
                 out.append(F.col(m.source).cast(m.ddl_type).alias(m.target))
             else:
                 out.append(F.lit(m.default).cast(m.ddl_type).alias(m.target))
         for c in passthrough:
+            if c in targets:
+                # would select the column TWICE — every later
+                # F.col(name) dies with AMBIGUOUS_REFERENCE far from
+                # the misconfiguration; fail at the source instead
+                raise ValueError(
+                    f"passthrough column {c!r} collides with a mapped target"
+                )
             out.append(F.col(c))
         return df.select(*out)

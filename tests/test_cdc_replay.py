@@ -526,3 +526,22 @@ def test_segment_keys_distinct_across_roots(spark, tmp_path):
     # replaying the same root again IS skipped (exactly-once resume)
     again = replay_segments(spark, table, segs_a, cfg=CFG)
     assert all(r["skipped"] for r in again)
+
+
+def test_normalize_handles_null_token_elements(spark):
+    """Null ELEMENTS inside a tokens array: the native flavor's filter
+    drops them; the pandas flavor must match instead of crashing on
+    '0 <= None'. _valid is a real boolean (never NULL) in both."""
+    df = spark.createDataFrame(
+        [
+            ("insert", 1, 0, 1, [None, 5], 2),
+            ("insert", 2, 0, 2, None, None),
+            ("delete", 3, 0, 3, None, None),
+        ],
+        "op string, lsn long, partition int, offset long, tokens array<int>, n_tok int",
+    )
+    for fn in (normalize_events, normalize_events_pandas):
+        rows = {r["lsn"]: r for r in fn(df, VOCAB, MAX_LEN).collect()}
+        assert list(rows[1]["tokens"]) == [5] and rows[1]["_valid"] is True
+        assert rows[2]["_valid"] is False        # plain False, not NULL
+        assert rows[3]["_valid"] is True
