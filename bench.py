@@ -33,7 +33,7 @@ from etl_rs_spark.operators import dedup_scale as DS
 from etl_rs_spark.operators import similarity as SIM
 from etl_rs_spark.operators.lww import lww_agg
 from etl_rs_spark.operators.normalize_cdc import normalize_events, valid_flag
-from etl_rs_spark.session import get_spark
+from etl_rs_spark.session import force, get_spark
 from etl_rs_spark.sinks.lakehouse import LakehouseTable
 from etl_rs_spark.sources.binlog import BinlogSpec, gen_events
 from etl_rs_spark.streaming.replay import process_batch
@@ -74,10 +74,6 @@ SMALL_SF_DIR = "/root/testdata/sf0.01"
 # 8M keeps the measurement in the sustained-rate regime.
 REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "8000000"))
 REPLAY_DOCS = int(os.environ.get("BENCH_REPLAY_DOCS", "800000"))
-
-
-def force(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
 
 
 #: clusters for the realistic-vocab q19 corpus: ~n_docs/N_CLUSTERS docs
@@ -172,17 +168,22 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def bench_replay(spark) -> dict:
+def materialize_binlog(spark, tmp: str) -> str:
+    """Write the bench binlog once; every best-of-N rep replays the
+    SAME stored log (regenerating per rep doubled bench wall time)."""
+    spec = BinlogSpec(n_events=REPLAY_EVENTS, n_docs=REPLAY_DOCS, n_partitions=32)
+    binlog = os.path.join(tmp, "binlog")
+    gen_events(spark, spec).repartition(64).write.parquet(binlog)
+    return binlog
+
+
+def bench_replay(spark, binlog: str) -> dict:
     """North-rule metric: events/sec through flag -> LWW -> normalize ->
     exactly-once MERGE, replayed from a STORED binlog (a CDC engine
     reads a log, it doesn't synthesize one — materialization is
     untimed)."""
-    spec = BinlogSpec(n_events=REPLAY_EVENTS, n_docs=REPLAY_DOCS, n_partitions=32)
     tmp = tempfile.mkdtemp(prefix="bench_lake_")
     try:
-        binlog = os.path.join(tmp, "binlog")
-        gen_events(spark, spec).repartition(64).write.parquet(binlog)
-
         table = LakehouseTable(spark, os.path.join(tmp, "lake"), n_buckets=32)
         events = spark.read.parquet(binlog)
         t0 = time.monotonic()
@@ -217,12 +218,18 @@ def main() -> None:
     try:
         queries = bench_queries(spark, sf_dir)
         ann_recall = bench_ann_recall(spark, sf_dir)
-        # best-of-3: single runs on this VM vary +-2x with machine phase
-        replay = bench_replay(spark)
-        for _ in range(2):
-            again = bench_replay(spark)
-            if again["events_per_sec_merge"] > replay["events_per_sec_merge"]:
-                replay = again
+        # best-of-3 over ONE stored binlog: single runs on this VM
+        # vary +-2x with machine phase
+        binlog_tmp = tempfile.mkdtemp(prefix="bench_binlog_")
+        try:
+            binlog = materialize_binlog(spark, binlog_tmp)
+            replay = bench_replay(spark, binlog)
+            for _ in range(2):
+                again = bench_replay(spark, binlog)
+                if again["events_per_sec_merge"] > replay["events_per_sec_merge"]:
+                    replay = again
+        finally:
+            shutil.rmtree(binlog_tmp, ignore_errors=True)
         out = {
             "metric": "cdc_replay_events_per_sec",
             "value": replay["events_per_sec_merge"],

@@ -25,15 +25,30 @@ def ship_package(spark: SparkSession) -> None:
     programmatically). Pandas-UDF closures reference functions in this
     package by module path; executor Python workers must be able to
     import it regardless of the driver's cwd/sys.path."""
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    # per-process zip name: a shared fixed path races when two sessions
-    # start concurrently (one truncates while the other's executors fetch)
+    # build under a per-process name (two concurrent sessions must not
+    # truncate each other mid-build), then atomically rename to a
+    # CONTENT-addressed path: one file per package version instead of
+    # one orphan per dead pid (a bench round spawns ~30 subprocesses).
     zip_base = os.path.join(
         tempfile.gettempdir(), f"etl_rs_spark_pkg_{os.getpid()}"
     )
     zip_path = shutil.make_archive(zip_base, "zip", root_dir=root, base_dir="etl_rs_spark")
-    spark.sparkContext.addPyFile(zip_path)
+    with open(zip_path, "rb") as f:
+        digest = hashlib.md5(f.read()).hexdigest()[:12]
+    stable = os.path.join(tempfile.gettempdir(), f"etl_rs_spark_pkg_{digest}.zip")
+    os.replace(zip_path, stable)
+    spark.sparkContext.addPyFile(stable)
+
+
+def force(df) -> None:
+    """Force full execution without collecting (the noop sink) — THE
+    way benchmarks in this repo time a plan; one definition so every
+    harness measures the same thing."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def get_spark(

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from etl_rs_spark.operators.lww import lww_agg
 from etl_rs_spark.operators.normalize_cdc import normalize_events, valid_flag
-from etl_rs_spark.session import get_spark
+from etl_rs_spark.session import force, get_spark
 from etl_rs_spark.sinks.lakehouse import LakehouseTable
 from etl_rs_spark.sources.binlog import BinlogSpec, gen_events
 from etl_rs_spark.streaming.replay import ReplayConfig, process_batch
@@ -83,6 +83,7 @@ def main() -> None:
     )
     tmp = None
     binlog_tmp = None
+    seg_root = None
     try:
         if args.gen_inline:
             events = gen_events(spark, spec)
@@ -96,15 +97,14 @@ def main() -> None:
                 os.path.join(binlog_tmp, "binlog")
             )
             events = spark.read.parquet(os.path.join(binlog_tmp, "binlog"))
-        if args.gen_inline:
-            n_events, max_lsn = args.events, args.events
-        else:
-            # measure the ACTUAL log, not the flag — a stored binlog may
-            # be any size; --events only parameterizes generation
-            stats = events.agg(
-                F.count(F.lit(1)).alias("n"), F.max("lsn").alias("m")
-            ).collect()[0]
-            n_events, max_lsn = int(stats["n"]), int(stats["m"])
+        # measure the ACTUAL log (incl. the ~2% duplicate deliveries
+        # the generator unions in), not the --events flag — otherwise
+        # gen-inline mode under-reports events_per_sec vs the identical
+        # workload replayed from storage
+        stats = events.agg(
+            F.count(F.lit(1)).alias("n"), F.max("lsn").alias("m")
+        ).collect()[0]
+        n_events, max_lsn = int(stats["n"]), int(stats["m"])
         stage_sec: dict[str, float] = {}
         if args.stages:
             # cumulative pipeline prefixes on the same input (each forced
@@ -113,24 +113,25 @@ def main() -> None:
             # the replay timing below is the steady-state figure.
             # warm the page cache / JIT first so the FIRST timed stage
             # doesn't absorb one-off costs the later stages skip
-            events.write.format("noop").mode("overwrite").save()
+            force(events)
             t = time.monotonic()
-            events.write.format("noop").mode("overwrite").save()
+            force(events)
             stage_sec["scan"] = round(time.monotonic() - t, 3)
             t = time.monotonic()
             # "normalize" stage = the validity flag (the hot-path
             # normalize work; full normalize runs post-LWW on winners)
-            valid_flag(events).filter("_valid").write.format("noop").mode("overwrite").save()
+            force(valid_flag(events).filter("_valid"))
             stage_sec["scan_normalize"] = round(time.monotonic() - t, 3)
             t = time.monotonic()
             v0 = valid_flag(events).filter("_valid").drop("_valid")
             w0 = lww_agg(v0, key="doc_id")
-            normalize_events(w0).drop("_valid").write.format("noop").mode("overwrite").save()
+            force(normalize_events(w0).drop("_valid"))
             stage_sec["scan_normalize_lww"] = round(time.monotonic() - t, 3)
 
         t0 = time.monotonic()
         per_partition: list[dict] = []
         lineage: dict = {}
+        compact_sec = None
         if args.mode == "dataflow":
             # mirrors process_batch's hot path: validity flag (no array
             # materialization) -> LWW on raw payloads -> normalize only
@@ -164,6 +165,10 @@ def main() -> None:
                 from etl_rs_spark.sources.binlog import write_segments
                 from etl_rs_spark.streaming.replay import replay_stream
 
+                # cleaned up in the finally (NOT inside the timed
+                # region: rmtree of hundreds of segment+checkpoint
+                # files is not replay work, and a failed run must not
+                # leak the materialization)
                 seg_root = tempfile.mkdtemp(prefix="replay_segs_")
                 n_segs = max(args.segments, 16)
                 write_segments(events, seg_root, n_segs, max_lsn)
@@ -181,7 +186,6 @@ def main() -> None:
                     max_files_per_trigger=max(1, n_files // 8),
                 )
                 q.awaitTermination()
-                shutil.rmtree(seg_root, ignore_errors=True)
             elif args.segments <= 1:
                 process_batch(table, events, "replay:bulk", cfg=cfg)
             else:
@@ -218,7 +222,7 @@ def main() -> None:
         print(json.dumps({
             "mode": args.mode,
             "table_mode": args.table_mode,
-            "compact_sec": locals().get("compact_sec"),
+            "compact_sec": compact_sec,
             "cpus": args.cpus,
             "events": n_events,
             "docs": args.docs,
@@ -231,7 +235,7 @@ def main() -> None:
         }))
     finally:
         spark.stop()
-        for d in (tmp, binlog_tmp):
+        for d in (tmp, binlog_tmp, seg_root):
             if d:
                 shutil.rmtree(d, ignore_errors=True)
 

@@ -34,8 +34,7 @@ from etl_rs_spark.sources.binlog import BinlogSpec, gen_events
 from etl_rs_spark.streaming.replay import process_batch
 
 
-def noop(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
+from etl_rs_spark.session import force as noop  # shared noop-force helper
 
 
 def main() -> None:

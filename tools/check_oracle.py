@@ -27,7 +27,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 9))
+        # + 0.0 folds -0.0 into 0.0: the values compare equal, so the
+        # canonical strings must too
+        return repr(round(v, 9) + 0.0)
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     return v
@@ -42,6 +44,12 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+    if only:
+        unknown = [n for n in only if n not in queries]
+        if unknown:
+            # a typo'd --only must FAIL, not green-light zero checks
+            print(f"FAIL: unknown query names {unknown}; known: {sorted(queries)}")
+            return 1
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -50,7 +58,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         scols = sorted(sdf.columns)
         if name not in oracles:
             print(f"{name}: rows-only ({len(srows)} rows) [no oracle]")
-            if len(srows) == 0 and name != "q04_customers_no_urgent":
+            if len(srows) == 0:
                 print(f"  WARNING: zero rows")
             continue
         o = con.sql(oracles[name])
