@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) for the pure-Python legs that
+anchor cross-engine exactness: container codecs and the portable hash.
+
+These run WITHOUT a SparkSession (fast, no fixtures) — they pin the
+byte-level invariants the Spark operators and DuckDB oracles both
+build on.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_rs_spark.operators import multimodal as mm
+
+SET = settings(max_examples=40, deadline=None)
+
+
+@SET
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_round_trip_any_raster(w, h, seed):
+    rng = np.random.RandomState(seed % 2**32)
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    assert (mm.decode_png(mm.encode_png(px)) == px).all()
+
+
+@SET
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ppm_round_trip_any_raster(w, h, seed):
+    rng = np.random.RandomState(seed % 2**32)
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    assert (mm.decode_ppm(mm.encode_ppm(px)) == px).all()
+
+
+@SET
+@given(samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=400))
+def test_wav_round_trip_any_pcm(samples):
+    arr = np.asarray(samples, dtype=np.int16)
+    decoded, rate = mm.decode_wav(mm.encode_wav(arr))
+    assert rate == 8000
+    assert (np.rint(decoded * 32768.0).astype(np.int16) == arr).all()
+
+
+@SET
+@given(payload=st.binary(min_size=0, max_size=64))
+def test_codecs_never_accept_garbage_silently(payload):
+    """Malformed containers raise ValueError (null-on-invalid is the
+    CALLER's policy) — they never return fabricated data."""
+    for decoder in (mm.decode_png, mm.decode_ppm, mm.decode_wav):
+        try:
+            decoder(payload)
+        except ValueError:
+            pass  # the contract
+        # anything decoded successfully must have round-tripped real
+        # structure; with <=64 random bytes that effectively never
+        # happens, but if it does it must not crash differently
+
+
+@SET
+@given(word=st.text(min_size=0, max_size=40))
+def test_word_hash60_matches_duckdb(word):
+    """The engine-portable word hash: Spark computes
+    conv(substr(md5(utf8(w)),1,15),16,10); DuckDB computes
+    ('0x'||substr(md5(w),1,15))::BIGINT. Both equal the first 60 bits
+    of the md5 — pinned here via hashlib, and against DuckDB itself."""
+    import duckdb
+
+    expected = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:15], 16)
+    got = duckdb.sql(
+        "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT AS h", params=[word]
+    ).fetchone()[0]
+    assert got == expected
+
+
+@SET
+@given(
+    tokens=st.lists(st.integers(0, 2**60 - 1), min_size=0, max_size=30),
+)
+def test_shingle_fold_invariant_under_mod_p(tokens):
+    """(acc*B + w) mod p == (acc*B + (w mod p)) mod p — the identity
+    that lets 60-bit word ids flow through the mod-p shingle polynomial
+    with values unchanged vs the old mod-p ids (and no bigint
+    overflow: acc*B + w <= 2^51 + 2^60)."""
+    P, B = 2_147_483_647, 1_000_003
+
+    def fold(ws):
+        if not ws:
+            return None
+        acc = ws[0] % P
+        for w in ws[1:]:
+            acc = (acc * B + w) % P
+            assert acc * B + w < 2**63  # the no-overflow claim itself
+        return acc
+
+    assert fold(tokens) == fold([t % P for t in tokens])
+
+
+@SET
+@given(
+    vals=st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=20),
+)
+def test_canon_folds_negative_zero(vals):
+    """The oracle comparator's float canonicalization: values that
+    compare equal must canonicalize equally (incl. -0.0 vs 0.0)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from check_oracle import canon
+
+    for v in vals:
+        assert canon(v) == canon(v + 0.0)
+    assert canon(-0.0) == canon(0.0)
+    assert canon(float("nan")) == "nan"
