@@ -1003,7 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                len(ws) AS n_words,
                len(list_distinct(ws)) AS n_distinct,
-               CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_word_len,
+               CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
                round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS distinct_ratio
         FROM w
     """
@@ -1026,9 +1026,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws FROM documents
         )
         SELECT doc_id,
-               CAST(list_sum(list_transform(range(1, len(ws) + 1), i ->
+               CAST(coalesce(list_sum(list_transform(range(1, len(ws) + 1), i ->
                  ((length(ws[i]) * 31 + ascii(substr(ws[i], 1, 1))) * i) % {P}
-               )) % {P} AS BIGINT) AS fingerprint
+               )), 0) % {P} AS BIGINT) AS fingerprint
         FROM w
     """
 
@@ -1408,5 +1408,5 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q33_ivf_topk"] = _q33_oracle_sql()
 
-    # every queries() entry now has a DuckDB oracle (33/33).
+    # every queries() entry now has a DuckDB oracle (34/34).
     return {k: v.strip() for k, v in sql.items()}

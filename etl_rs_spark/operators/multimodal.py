@@ -137,7 +137,7 @@ def synth_media(
     )
     mimes = F.array(*[F.lit(m) for m in mime_list])
     df = (
-        spark.range(0, n, 1, numPartitions=min(partitions, max(1, n // 8) or 1))
+        spark.range(0, n, 1, numPartitions=min(partitions, max(1, n // 8)))
         .withColumn("media_id", F.format_string("m-%08d", F.col("id")))
         .withColumn(
             "mime",
@@ -206,9 +206,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if len(body) < size:
             raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
-            fmt_code, _ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt_code, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
             if fmt_code != 1:
                 raise ValueError(f"unsupported WAV format code {fmt_code}")
+            if ch != 1:
+                # interleaved multi-channel would silently pool across
+                # channels downstream — reject like other unsupported
+                # variants instead
+                raise ValueError(f"only mono PCM16 supported, got {ch} channels")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
@@ -271,7 +278,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(body) < length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
+            if len(body) < 13:
+                raise ValueError("truncated PNG IHDR chunk")
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -370,17 +379,21 @@ def _pool_to_dim(values: np.ndarray, dim: int) -> list[float]:
 
 def decode_media(payload: bytes, mime: str, dim: int, strict: bool) -> list[float]:
     """Dispatch: REAL decode for wav/ppm/png, stub for formats whose
-    codecs aren't shipped here (jpeg, video). The real paths work in
-    strict mode too. PNG additionally content-sniffs the signature so
-    non-PNG bytes mislabeled image/png fall through to the stub instead
-    of a parse error (test fixtures; the strict path still raises)."""
-    if mime == "audio/wav":
-        samples, _rate = decode_wav(payload)
-        return _pool_to_dim(samples, dim)
-    if mime in ("image/ppm", "image/x-portable-pixmap"):
-        return _pool_to_dim(decode_ppm(payload).astype(np.float64) / 255.0, dim)
-    if mime == "image/png" and payload[:8] == PNG_MAGIC:
-        return _pool_to_dim(decode_png(payload).astype(np.float64) / 255.0, dim)
+    codecs aren't shipped here (jpeg, video). Strict mode propagates a
+    real codec's ValueError (and raises for stub formats); non-strict
+    (test) mode falls back to the deterministic stub on ANY malformed
+    payload — mislabeled fixtures must not kill the whole Spark task."""
+    try:
+        if mime == "audio/wav":
+            samples, _rate = decode_wav(payload)
+            return _pool_to_dim(samples, dim)
+        if mime in ("image/ppm", "image/x-portable-pixmap"):
+            return _pool_to_dim(decode_ppm(payload).astype(np.float64) / 255.0, dim)
+        if mime == "image/png" and payload[:8] == PNG_MAGIC:
+            return _pool_to_dim(decode_png(payload).astype(np.float64) / 255.0, dim)
+    except ValueError:
+        if strict:
+            raise
     return _decode_stub(payload, mime, dim, strict)
 
 
@@ -482,7 +495,10 @@ def frame_sample_plan(
     """Video frame-sampling *plan*: emits (media_id, frame_idx) rows for
     every_n-th frame from the metadata duration proxy (n_bytes), without
     decoding. The decode of selected frames then routes through
-    extract_features on a frame table."""
-    n_frames = (F.col("n_bytes") / F.lit(1)).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    extract_features on a frame table. Zero-frame media emit NO rows
+    (an unguarded greatest(n-1, 0) would fabricate frame 0)."""
+    n_frames = F.col("n_bytes").cast("int")
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    ).otherwise(F.array().cast("array<int>"))
     return df.select(id_col, F.explode(idx).alias("frame_idx"))

@@ -2,8 +2,9 @@
 
 Standard training-data/log-pipeline operator (not in the reference —
 its only window is a partition count, SURVEY.md §2.5): events of a user
-belong to one session while the gap to the previous event stays under
-``gap``; a larger gap starts a new session.
+belong to one session while the gap to the previous event is AT MOST
+``gap`` (a gap exactly equal to ``gap_minutes`` stays in-session —
+pinned by test); a STRICTLY larger gap starts a new session.
 
 Pure window algebra — lag -> gap flag -> running sum = session index —
 so the plan is one shuffle by user and the whole thing stays in
