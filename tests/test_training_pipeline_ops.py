@@ -758,3 +758,62 @@ def test_filter_dsl_rejects_unknown_group_ops(spark):
 
     with pytest.raises(FilterError, match="group op"):
         filter_to_column({"$and": [{"id": 1}]})
+
+
+def test_contract_skew_caps_are_above_observed_maxima(spark):
+    """The contract/bench queries run with their skew caps ACTIVE
+    (round-3 verdict item 3). The caps are chosen above every observed
+    group maximum, so they must not change a single result row on the
+    real corpora — pinned here by capped-vs-uncapped row-count equality
+    on the sf0.1 fixtures (q21 verbatim; q19 on the realistic-vocab
+    bench derivation, whose banded buckets are the ones the main-sf
+    bench pays for). The companion tests above prove the same caps DO
+    bound synthetic skewed corpora — together: guard present, guard
+    inactive on healthy data, guard effective under skew."""
+    import bench
+    import __spark_entry__ as entry
+
+    sf01 = "/root/testdata/sf0.1"
+    wi = entry._doc_word_ids(spark, sf01)
+    q21_capped = ds.ngram_jaccard_pairs(
+        wi, blocking_col="lang", n=3, threshold=0.3,
+        max_doc_freq=entry.Q21_MAX_DOC_FREQ,
+    ).count()
+    q21_uncapped = ds.ngram_jaccard_pairs(
+        wi, blocking_col="lang", n=3, threshold=0.3
+    ).count()
+    assert q21_capped == q21_uncapped > 0
+
+    salted = ds.doc_word_ids_hashed(
+        bench.salted_documents(spark, sf01), extra_cols=("lang",)
+    )
+    q19_capped = ds.minhash_lsh_pairs(
+        salted, n_hashes=16, bands=4, jaccard_threshold=0.6,
+        max_bucket_size=entry.Q19_MAX_BUCKET,
+    ).count()
+    q19_uncapped = ds.minhash_lsh_pairs(
+        salted, n_hashes=16, bands=4, jaccard_threshold=0.6
+    ).count()
+    assert q19_capped == q19_uncapped > 0
+
+
+def test_bands_for_recall_s_curve_inversion():
+    """The analytic band derivation: 1-(1-p1^k)^b >= target at the
+    threshold, minimal b, and the regimes the docstring promises —
+    a handful of bands at near-dup-grade thresholds, many at low ones
+    (the cost made explicit), never exceeding max_bands."""
+    import math
+
+    for threshold, k in [(0.9, 6), (0.95, 8), (0.3, 3), (0.5, 4)]:
+        b = sim.bands_for_recall(threshold, k, 0.95)
+        p1 = 1.0 - math.acos(threshold) / math.pi
+        achieved = 1.0 - (1.0 - p1 ** k) ** b
+        assert achieved >= 0.95
+        if b > 1:  # minimality: one band fewer misses the target
+            assert 1.0 - (1.0 - p1 ** k) ** (b - 1) < 0.95
+    assert sim.bands_for_recall(0.9, 6, 0.95) <= 8    # near-dup grade: cheap
+    assert sim.bands_for_recall(0.3, 3, 0.95) == 13   # q27's shipped config
+    assert sim.bands_for_recall(0.0, 30, 0.999) == 128  # max_bands bound
+    assert sim.bands_for_recall(1.0, 4, 0.95) == 1    # p_band = 1 -> 1 band
+    with pytest.raises(ValueError):
+        sim.bands_for_recall(0.5, 4, 1.0)
