@@ -389,7 +389,12 @@ def decode_media(payload: bytes, mime: str, dim: int, strict: bool) -> list[floa
             return _pool_to_dim(samples, dim)
         if mime in ("image/ppm", "image/x-portable-pixmap"):
             return _pool_to_dim(decode_ppm(payload).astype(np.float64) / 255.0, dim)
-        if mime == "image/png" and payload[:8] == PNG_MAGIC:
+        if mime == "image/png":
+            # dispatch on mime ALONE (r3 ADVICE): a payload labeled png
+            # with a bad signature must hit decode_png's truthful
+            # "not a PNG" ValueError — strict mode propagates it; the
+            # magic is NOT part of the dispatch condition, which would
+            # route the row to the stub's misleading NotImplementedError
             return _pool_to_dim(decode_png(payload).astype(np.float64) / 255.0, dim)
     except ValueError:
         if strict:
@@ -495,10 +500,108 @@ def frame_sample_plan(
     """Video frame-sampling *plan*: emits (media_id, frame_idx) rows for
     every_n-th frame from the metadata duration proxy (n_bytes), without
     decoding. The decode of selected frames then routes through
-    extract_features on a frame table. Zero-frame media emit NO rows
-    (an unguarded greatest(n-1, 0) would fabricate frame 0)."""
+    extract_features / sample_and_decode_frames on a frame table.
+    Zero-frame media emit NO rows (an unguarded greatest(n-1, 0) would
+    fabricate frame 0)."""
     n_frames = F.col("n_bytes").cast("int")
     idx = F.when(
         n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     ).otherwise(F.array().cast("array<int>"))
     return df.select(id_col, F.explode(idx).alias("frame_idx"))
+
+
+def _synth_frame_ppm(media_id: int, frame_idx: int) -> bytes:
+    """Deterministic REAL P6 raster for one video frame: the _synth_ppm
+    ramp shifted per frame — pure integer arithmetic, so a pandas/SQL
+    oracle regenerates every pixel of every frame exactly."""
+    w = 4 + media_id % 5
+    h = 3 + media_id % 4
+    idx = np.arange(w * h * 3, dtype=np.int64)
+    pix = ((media_id * 2654435761 + frame_idx * 40503 + idx * 97) % 256).astype(
+        np.uint8
+    )
+    return encode_ppm(pix.reshape(h, w, 3))
+
+
+def synth_video_frames(
+    spark: SparkSession, n_videos: int, frames_per_video: int,
+    seed: int = 42, partitions: int = 8,
+) -> DataFrame:
+    """Deterministic decoded-frame side table: (media_id, frame_idx,
+    mime, payload) with a REAL binary-PPM raster per frame — the table a
+    video ingest materializes at scale (pyav demux/decode would emit it;
+    the per-frame payloads here are genuine P6 containers so the decode
+    stage downstream is a real codec, not the stub). Generated
+    distributed from spark.range; media_id matches synth_media's
+    ``m-%08d`` scheme."""
+    from pyspark.sql.types import BinaryType as _Bin
+
+    frame_udf = F.pandas_udf(
+        lambda vid, fidx: pd.Series(
+            [_synth_frame_ppm(int(v), int(x)) for v, x in zip(vid, fidx)]
+        ),
+        _Bin(),
+    )
+    total = n_videos * frames_per_video
+    return (
+        spark.range(0, total, 1, numPartitions=min(partitions, max(1, total // 8)))
+        .withColumn("_vid", (F.col("id") / frames_per_video).cast("bigint"))
+        .withColumn("frame_idx", (F.col("id") % frames_per_video).cast("int"))
+        .withColumn("media_id", F.format_string("m-%08d", F.col("_vid")))
+        .withColumn("mime", F.lit("image/ppm"))
+        .withColumn("payload", frame_udf(F.col("_vid"), F.col("frame_idx")))
+        .select("media_id", "frame_idx", "mime", "payload")
+    )
+
+
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("mime", StringType()),
+        StructField("n_values", IntegerType()),
+        StructField("sum_values", LongType()),
+    ]
+)
+
+
+def sample_and_decode_frames(
+    video_meta: DataFrame,
+    frames: DataFrame,
+    every_n: int = 10,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """The video pipeline END-TO-END: frame_sample_plan over the
+    metadata (no decode) -> equi join against the frame table on
+    (media_id, frame_idx) — only the SAMPLED frames' payloads are ever
+    read — -> Arrow-batched REAL decode (decoded_stats, strict: no stub
+    path) producing integer per-frame stats.
+
+    At 100 TB the frame table is parquet partitioned by media_id
+    prefix; the plan side is metadata-derived and orders of magnitude
+    smaller, so Spark's size estimate broadcast-joins it against the
+    frame scan and the join degenerates to a payload-pruned filtered
+    read. jpeg/full-video CONTAINER demux stays the honest stub
+    (multimodal module docstring); this path proves the plan -> join ->
+    decode plumbing with genuine per-frame rasters."""
+    plan = frame_sample_plan(video_meta, every_n, id_col)
+    sampled = plan.join(frames, [id_col, "frame_idx"]).select(
+        F.col(id_col).alias("media_id"), "frame_idx", "mime", "payload"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [
+                decoded_stats(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "mime": pdf["mime"],
+                    "n_values": [s[0] for s in stats],
+                    "sum_values": [s[1] for s in stats],
+                }
+            )
+
+    return sampled.mapInPandas(run, FRAME_STATS_SCHEMA)

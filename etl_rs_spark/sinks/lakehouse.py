@@ -76,7 +76,20 @@ class LakehouseTable:
         key_col: str = "doc_id",
         n_buckets: int = 16,
         mode: str = "cow",
+        auto_compact_files: int | None = None,
     ):
+        """``auto_compact_files``: MOR maintenance policy — after a merge
+        commit, if any bucket holds more than this many live files,
+        ``compact()`` runs as its own follow-up snapshot commit. Bounds
+        read amplification (a MOR read scans base + every delta file and
+        pays an LWW agg over all of them) without a caller-managed
+        maintenance schedule. Recorded in the manifest at table CREATION
+        like mode/n_buckets; the manifest is authoritative on an
+        existing table. Commit-time and background-safe: the compaction
+        is an ordinary optimistic snapshot commit, so readers see either
+        the pre- or post-compaction version, never a blend, and a
+        concurrent writer losing the version race simply retries against
+        the compacted manifest."""
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.spark = spark
@@ -92,6 +105,7 @@ class LakehouseTable:
                     "n_buckets": n_buckets,
                     "mode": mode,
                     "bucket_hash": BUCKET_HASH,
+                    "auto_compact_files": auto_compact_files,
                     "payload_schema": [],  # [name, ddl_type] pairs, additive
                     "buckets": {},
                     "committed": [],
@@ -111,6 +125,7 @@ class LakehouseTable:
         self.mode = man.get("mode", "cow")
         self.key_col = man.get("key_col", key_col)
         self.n_buckets = int(man.get("n_buckets", n_buckets))
+        self.auto_compact_files = man.get("auto_compact_files")
         # refuse to open a table bucketed under a different hash family —
         # merging into it would scan the wrong buckets (see BUCKET_HASH).
         # Manifests predating the field were written by the murmur3 code
@@ -181,7 +196,20 @@ class LakehouseTable:
         divide each other — the condition under which an upstream
         key-shuffle (LWW groupBy / merge join) leaves every bucket's rows
         co-located in a bounded number of tasks, so the bucketed write
-        needs no extra repartition."""
+        needs no extra repartition.
+
+        AQE interaction (r3 ADVICE): adaptive partition COALESCING does
+        not void the guarantee — coalescing merges whole reducer
+        partitions, so it can co-locate several buckets in one task but
+        never SPLITS a bucket across tasks; the dynamic partitionBy
+        still emits at most one file per (bucket, task-holding-it), and
+        that count only shrinks under coalescing. The one AQE rule that
+        can split a bucket is the skew-join handler on the COW merge
+        join (OptimizeSkewedJoin duplicates a skewed partition's rows
+        across tasks) — a few extra files in the skewed bucket for that
+        commit, folded by the next rewrite of the bucket; routing stays
+        correct because partitionBy keys on the _bucket VALUE, not the
+        task."""
         try:
             sp = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         except Exception:
@@ -400,7 +428,20 @@ class LakehouseTable:
         man["history"] = (man["history"] + [{"batch": batch_key, "version": version, "lineage": lineage or {}}])[-100:]
         man["version"] = version
         self._write_manifest(man, version)
-        return {"skipped": False, "version": version, "touched_buckets": touched}
+        out = {"skipped": False, "version": version, "touched_buckets": touched}
+        # MOR maintenance policy: fold deltas once any bucket's live
+        # file count exceeds the threshold — a SEPARATE follow-up
+        # snapshot commit, after the batch is already durable, so a
+        # compaction failure never loses the merge
+        if (
+            self.mode == "mor"
+            and self.auto_compact_files
+            and any(len(fl) > self.auto_compact_files for fl in new_buckets.values())
+        ):
+            c = self.compact()
+            out["auto_compacted"] = True
+            out["version"] = c["version"]
+        return out
 
     # -- compaction (merge-on-read maintenance) -----------------------------
 

@@ -29,7 +29,7 @@ from pyspark import InheritableThread
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from etl_rs_spark.operators.lww import lww_agg, lww_salted
+from etl_rs_spark.operators.lww import lww_agg, lww_salted, lww_thin
 from etl_rs_spark.operators.normalize_cdc import normalize_events, valid_flag
 from etl_rs_spark.sinks.lakehouse import LakehouseTable
 from etl_rs_spark.streaming.schema_evolution import ColumnMapping
@@ -70,6 +70,11 @@ class ReplayConfig:
     max_len: int = 2048
     salted_lww: bool = False
     salt_buckets: int = 16
+    #: LWW physical strategy: None -> "salted" if salted_lww else "agg";
+    #: "thin" = key-only shuffle + broadcast join-back (operators.lww
+    #: .lww_thin — payload bytes shuffled drop from O(events) to
+    #: O(keys); requires the winner key set to fit in executor memory)
+    lww_strategy: str | None = None
     collect_lineage: bool = True
     #: drop events at-or-below each partition's committed offset before
     #: merging. ONLY sound when batches arrive in per-partition offset
@@ -156,13 +161,21 @@ def process_batch(
             F.sum(F.when(~F.coalesce(F.col("_valid"), F.lit(False)), 1).otherwise(0)).alias("invalid"),
         )
     valid = flagged.filter("_valid").drop("_valid", "partition")
-    if cfg.salted_lww:
+    strategy = cfg.lww_strategy or ("salted" if cfg.salted_lww else "agg")
+    if strategy == "salted":
         winners = lww_salted(
             valid, key=table.key_col, order=("lsn", "offset"),
             salt_buckets=cfg.salt_buckets,
         )
-    else:
+    elif strategy == "thin":
+        # consumes `valid` twice (winner-key agg + join-back); the
+        # validity flag is a cheap early-exit exists over the scan, and
+        # the payload never rides the big shuffle — see lww_thin
+        winners = lww_thin(valid, key=table.key_col, order=("lsn", "offset"))
+    elif strategy == "agg":
         winners = lww_agg(valid, key=table.key_col, order=("lsn", "offset"))
+    else:
+        raise ValueError(f"unknown lww_strategy {strategy!r}")
     winners = normalize_events(winners, vocab=cfg.vocab, max_len=cfg.max_len).drop("_valid")
     if cfg.collect_lineage:
         obs_win = Observation()
@@ -216,23 +229,32 @@ def replay_segments(
     mapping: ColumnMapping | None = None,
     cfg: ReplayConfig | None = None,
     batch_prefix: str = "batch",
+    binlog_id: str | None = None,
 ) -> list[dict]:
     """Bounded replay: each segment directory is one MERGE batch, in
     order — the file-based analogue of offset-range Kafka consumption.
 
-    The batch key folds in a digest of the segment's ABSOLUTE path:
-    ``write_segments`` always names directories ``seg-00000..``, so a
-    basename-only key would collide across different binlog roots and
-    silently skip the second binlog's batches as already-committed.
-    Same path -> same key, so exactly-once resume still skips."""
+    Batch-key identity: ``write_segments`` always names directories
+    ``seg-00000..``, so a basename-only key would collide across
+    different binlog roots and silently skip the second binlog's batches
+    as already-committed. Pass ``binlog_id`` — a caller-chosen STABLE
+    identifier for the binlog (a topic name, a dataset id) — to key on
+    ``prefix:basename:binlog_id``: the key then survives relocating the
+    segment files to a new root, exactly like a Kafka (topic, offset)
+    address survives broker moves. Without it, the key falls back to a
+    digest of the segment's absolute path (same path -> same key, so
+    resume still skips; relocated data re-merges, idempotently, under
+    the LWW guard). Key-format note: keys changed in r3 from
+    basename-only to path-digested — manifests recording the old keys
+    re-merge once on resume (idempotent, state converges)."""
     import hashlib
 
     results = []
     for seg in segment_paths:
         events = spark.read.option("mergeSchema", True).parquet(seg)
         norm_path = os.path.abspath(seg.rstrip("/"))
-        digest = hashlib.md5(norm_path.encode()).hexdigest()[:8]
-        key = f"{batch_prefix}:{norm_path.rsplit('/', 1)[-1]}:{digest}"
+        tag = binlog_id or hashlib.md5(norm_path.encode()).hexdigest()[:8]
+        key = f"{batch_prefix}:{norm_path.rsplit('/', 1)[-1]}:{tag}"
         results.append(process_batch(table, events, key, mapping, cfg))
     return results
 

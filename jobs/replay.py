@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from etl_rs_spark.operators.lww import lww_agg
+from etl_rs_spark.operators.lww import lww_agg, lww_salted, lww_thin
 from etl_rs_spark.operators.normalize_cdc import normalize_events, valid_flag
 from etl_rs_spark.session import force, get_spark
 from etl_rs_spark.sinks.lakehouse import LakehouseTable
@@ -54,6 +54,11 @@ def main() -> None:
     )
     ap.add_argument("--segments", type=int, default=1, help="replay in N ordered batches")
     ap.add_argument("--salted-lww", action="store_true")
+    ap.add_argument(
+        "--lww", choices=["agg", "salted", "thin"], default=None,
+        help="LWW physical strategy (default: salted if --salted-lww "
+             "else agg); thin = key-only shuffle + broadcast join-back",
+    )
     ap.add_argument("--table-mode", choices=["cow", "mor"], default="cow")
     ap.add_argument("--compact-after", action="store_true",
                     help="run MOR compaction after the replay (timed separately)")
@@ -137,7 +142,10 @@ def main() -> None:
             # materialization) -> LWW on raw payloads -> normalize only
             # the per-key winners
             valid = valid_flag(events).filter("_valid").drop("_valid")
-            winners = lww_agg(valid, key="doc_id")
+            lww_fn = {"salted": lww_salted, "thin": lww_thin}.get(
+                args.lww or ("salted" if args.salted_lww else "agg"), lww_agg
+            )
+            winners = lww_fn(valid, key="doc_id")
             out = normalize_events(winners).drop("_valid")
             pp = (
                 out.groupBy("partition")
@@ -158,7 +166,7 @@ def main() -> None:
             # bucket count is a table property, not a cluster property —
             # fixed so both scaling levels do identical layout work
             table = LakehouseTable(spark, lake_path, n_buckets=32, mode=args.table_mode)
-            cfg = ReplayConfig(salted_lww=args.salted_lww)
+            cfg = ReplayConfig(salted_lww=args.salted_lww, lww_strategy=args.lww)
             if args.mode == "streaming":
                 # materialize segment files (untimed), then time the
                 # exactly-once foreachBatch drain incl. checkpointing

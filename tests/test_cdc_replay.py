@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from etl_rs_spark.operators.lww import lww_agg, lww_salted, lww_window
+from etl_rs_spark.operators.lww import lww_agg, lww_salted, lww_thin, lww_window
 from etl_rs_spark.operators.normalize_cdc import (
     normalize_events,
     normalize_events_pandas,
@@ -73,6 +73,33 @@ def test_exactly_once_reapply(spark, tmp_path, binlog, oracle_state):
     assert table_state(table.read()) == oracle_state
 
 
+def test_binlog_id_keys_survive_relocation(spark, tmp_path, binlog, oracle_state):
+    """A caller-supplied stable binlog_id (r3 ADVICE) keys batches on
+    (basename, binlog_id) instead of the absolute-path digest: the same
+    segments COPIED to a new root resume as already-committed — no
+    surprise full re-merge after relocating data — while a DIFFERENT
+    binlog_id still re-merges (two distinct logical binlogs never
+    collide on basename alone)."""
+    import shutil
+
+    _, segs, _ = binlog
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8)
+    replay_segments(spark, table, segs, cfg=CFG, binlog_id="topicA")
+    v1 = table.manifest()["version"]
+    moved = []
+    for seg in segs:
+        dst = str(tmp_path / "relocated" / seg.rstrip("/").rsplit("/", 1)[-1])
+        shutil.copytree(seg, dst)
+        moved.append(dst)
+    results = replay_segments(spark, table, moved, cfg=CFG, binlog_id="topicA")
+    assert all(r["skipped"] for r in results)
+    assert table.manifest()["version"] == v1
+    # a different logical binlog with colliding basenames is NOT skipped
+    results = replay_segments(spark, table, moved, cfg=CFG, binlog_id="topicB")
+    assert all(not r["skipped"] for r in results)
+    assert table_state(table.read()) == oracle_state  # idempotent re-merge
+
+
 def test_checkpoint_resume_reconverges(spark, tmp_path, binlog, oracle_state):
     """Restart mid-stream with NEW batch ids re-reading from the start:
     committed per-partition offsets skip everything already applied and
@@ -99,7 +126,17 @@ def test_lww_flavors_agree(spark, binlog):
     a = {r["doc_id"]: (r["lsn"], r["offset"]) for r in lww_agg(df=norm).collect()}
     s = {r["doc_id"]: (r["lsn"], r["offset"]) for r in lww_salted(df=norm).collect()}
     w = {r["doc_id"]: (r["lsn"], r["offset"]) for r in lww_window(df=norm).collect()}
-    assert a == s == w
+    t = {r["doc_id"]: (r["lsn"], r["offset"]) for r in lww_thin(df=norm).collect()}
+    assert a == s == w == t
+    # full-row equality for the thin variant (its join-back path must
+    # return the winner's PAYLOAD, not just its order columns; duplicate
+    # deliveries of the winning event must fold to one row)
+    cols = sorted(norm.columns)
+    a_rows = {tuple(r[c] if not isinstance(r[c], list) else tuple(r[c]) for c in cols)
+              for r in lww_agg(df=norm).collect()}
+    t_rows = {tuple(r[c] if not isinstance(r[c], list) else tuple(r[c]) for c in cols)
+              for r in lww_thin(df=norm).collect()}
+    assert a_rows == t_rows
 
 
 def test_normalize_flavors_agree(spark, binlog):
@@ -266,6 +303,40 @@ def test_mor_compaction_interleaved_with_replay(spark, tmp_path, binlog, oracle_
     # a second compaction folds the post-compaction deltas too
     table.compact()
     assert table_state(table.read()) == oracle_state
+
+
+def test_mor_auto_compaction_bounds_read_amplification(
+    spark, tmp_path, binlog, oracle_state
+):
+    """The commit-time compaction POLICY (auto_compact_files): driving N
+    incremental batches into a policy-on table keeps every bucket's live
+    file count bounded by the threshold+1 (one fresh delta can land
+    before the follow-up compaction commit folds it), while a policy-off
+    table's file count grows with every batch — and the final state is
+    identical to the oracle in both. The policy survives reopen (it is
+    manifest state, like mode/n_buckets)."""
+    _, segs, _ = binlog
+    plain = LakehouseTable(spark, str(tmp_path / "plain"), n_buckets=8, mode="mor")
+    auto = LakehouseTable(
+        spark, str(tmp_path / "auto"), n_buckets=8, mode="mor",
+        auto_compact_files=2,
+    )
+    compactions = 0
+    for seg in segs:
+        events = spark.read.option("mergeSchema", True).parquet(seg)
+        process_batch(plain, events, f"b:{seg}", cfg=CFG)
+        r = process_batch(auto, events, f"b:{seg}", cfg=CFG)
+        compactions += int(bool(r.get("auto_compacted")))
+    plain_max = max(len(v) for v in plain.manifest()["buckets"].values())
+    auto_max = max(len(v) for v in auto.manifest()["buckets"].values())
+    assert plain_max >= len(segs)          # uncompacted: one delta per batch
+    assert auto_max <= 2 + 1               # bounded by threshold + one delta
+    assert compactions >= 1                # the policy actually fired
+    assert table_state(auto.read()) == oracle_state
+    assert table_state(plain.read()) == oracle_state
+    # reopening reads the policy from the manifest, not the constructor
+    reopened = LakehouseTable(spark, str(tmp_path / "auto"), n_buckets=8, mode="mor")
+    assert reopened.auto_compact_files == 2
 
 
 def test_bulk_replay_matches_oracle(spark, tmp_path, binlog, oracle_state):

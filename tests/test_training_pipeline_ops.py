@@ -361,6 +361,11 @@ def test_media_strict_mode_raises_only_for_stub_formats(spark):
         mm.filter_media_metadata(media, mimes=("audio/wav",)), dim=8, strict=True
     ).collect()
     assert wav_feats and all(len(r["feature"]) == 8 for r in wav_feats)
+    # a payload LABELED png with a bad signature dispatches to the real
+    # codec (mime-only dispatch) and raises the truthful bad-signature
+    # ValueError in strict mode — not the stub's NotImplementedError
+    with pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_media(b"definitely-not-a-png", "image/png", 8, strict=True)
 
 
 def test_wav_codec_round_trip():
@@ -410,6 +415,32 @@ def test_frame_sample_plan(spark):
     plan = mm.frame_sample_plan(media, every_n=4)
     rows = plan.collect()
     assert all(r["frame_idx"] % 4 == 0 for r in rows)
+
+
+def test_video_frame_pipeline_end_to_end(spark):
+    """The full video path: frame_sample_plan over the metadata (no
+    decode) -> join against the decoded-frame table -> REAL P6 decode of
+    ONLY the sampled frames, vs a pandas oracle that regenerates every
+    sampled frame's raster driver-side. Unsampled frames must never
+    appear, zero-frame videos must emit nothing, and the per-frame
+    integer stats must match the oracle exactly."""
+    n_videos, fpv, every_n = 6, 12, 5
+    meta_rows = [(f"m-{v:08d}", fpv if v != 3 else 0) for v in range(n_videos)]
+    video_meta = spark.createDataFrame(meta_rows, "media_id string, n_bytes int")
+    # the frame table holds ALL frames; video 3's metadata says 0 frames
+    frames = mm.synth_video_frames(spark, n_videos, fpv)
+    got = {
+        (r["media_id"], r["frame_idx"]): (r["n_values"], r["sum_values"])
+        for r in mm.sample_and_decode_frames(video_meta, frames, every_n=every_n).collect()
+    }
+    expect = {}
+    for v in range(n_videos):
+        if v == 3:
+            continue  # zero-frame video: plan emits no rows
+        for fi in range(0, fpv, every_n):
+            px = mm.decode_ppm(mm._synth_frame_ppm(v, fi)).astype("int64")
+            expect[(f"m-{v:08d}", fi)] = (int(px.size), int(px.sum()))
+    assert got == expect and len(got) == 5 * 3  # ceil(12/5)=3 per live video
 
 
 # -- sessionization --------------------------------------------------------
