@@ -72,6 +72,11 @@ def main() -> None:
         help="skip materialization: generate events lazily inside the timed run",
     )
     ap.add_argument(
+        "--conf", action="append", default=[], metavar="K=V",
+        help="extra SparkConf entries (spark-submit style), e.g. "
+             "--conf spark.io.compression.codec=zstd",
+    )
+    ap.add_argument(
         "--stages", action="store_true",
         help="also time pipeline prefixes (scan / +normalize / +lww) so the "
              "merge cost decomposes into per-stage attributions",
@@ -82,6 +87,7 @@ def main() -> None:
         app_name=f"cdc-replay-{args.mode}-c{args.cpus}",
         master=f"local[{args.cpus}]",
         shuffle_partitions=args.cpus,
+        extra_conf=dict(kv.split("=", 1) for kv in args.conf),
     )
     spec = BinlogSpec(
         n_events=args.events, n_docs=args.docs, n_partitions=args.partitions
