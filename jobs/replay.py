@@ -62,6 +62,12 @@ def main() -> None:
     ap.add_argument("--table-mode", choices=["cow", "mor"], default="cow")
     ap.add_argument("--compact-after", action="store_true",
                     help="run MOR compaction after the replay (timed separately)")
+    ap.add_argument(
+        "--auto-compact-files", type=int, default=None, metavar="N",
+        help="MOR maintenance policy: compact any bucket exceeding N live "
+             "files at commit time (manifest-recorded; bounds read "
+             "amplification over long segmented replays)",
+    )
     ap.add_argument("--lake", default=None, help="lake table path (default: tmpdir)")
     ap.add_argument(
         "--binlog", default=None,
@@ -171,7 +177,10 @@ def main() -> None:
             tmp = None if args.lake else os.path.dirname(lake_path)
             # bucket count is a table property, not a cluster property —
             # fixed so both scaling levels do identical layout work
-            table = LakehouseTable(spark, lake_path, n_buckets=32, mode=args.table_mode)
+            table = LakehouseTable(
+                spark, lake_path, n_buckets=32, mode=args.table_mode,
+                auto_compact_files=args.auto_compact_files,
+            )
             cfg = ReplayConfig(salted_lww=args.salted_lww, lww_strategy=args.lww)
             if args.mode == "streaming":
                 # materialize segment files (untimed), then time the
