@@ -138,12 +138,16 @@ Q27_RECALL_FLOOR = 0.9
 def bench_ann_recall(spark, sf_dir: str) -> dict[str, float]:
     """ANN quality tracked next to latency, so knob changes can't
     silently trade recall:
-    - q27's SHIPPED pairing config (S-curve-derived banding,
-      bands_for_recall) vs its brute-force twin (n_planes=0 = one
-      bucket = exact all-pairs), at sf0.01 where the quadratic truth
-      stays cheap; verified pairs are a subset of the truth, so recall
-      is the count ratio. ASSERTS >= Q27_RECALL_FLOOR — the bench
-      FAILS if a config change drops recall;
+    - q27's SHIPPED config (auto-derived: at threshold 0.3 the
+      brute_cutover routes to exact_pairs_blocked) vs the brute-force
+      twin (n_planes=0 = one bucket = all-pairs self-join verify), at
+      sf0.01 where the quadratic truth stays cheap. ASSERTS recall
+      == 1.0 — the cutover promises exactness, and a regression in the
+      blocked GEMM or the routing would show here;
+    - the BANDED derivation (explicit n_bands=Q27_BANDS, the plan that
+      ships at near-dup-grade thresholds) vs the same truth. ASSERTS
+      >= Q27_RECALL_FLOOR — a knob change in bands_for_recall or the
+      bucket hashing can't silently trade recall;
     - the single-band number of the same planes-per-band, quantifying
       what the derivation buys (~0.2 -> ~0.95);
     - q33's IVF (2-probe integer Lloyd's) vs exact cosine_topk at the
@@ -158,16 +162,27 @@ def bench_ann_recall(spark, sf_dir: str) -> dict[str, float]:
         ).count()
 
     exact = pair_count(0, n_bands=1)  # one bucket = exact all-pairs truth
-    # the SHIPPED q27 config: n_bands=None -> bands_for_recall derives 13
+    # the SHIPPED q27 config: n_bands=None -> cutover -> exact_pairs_blocked
     r27 = round(pair_count(entry.Q27_PLANES) / exact, 4) if exact else 1.0
+    r27_banded = (
+        round(pair_count(entry.Q27_PLANES, n_bands=entry.Q27_BANDS) / exact, 4)
+        if exact else 1.0
+    )
     r27_single = (
         round(pair_count(entry.Q27_PLANES, n_bands=1) / exact, 4) if exact else 1.0
     )
-    if r27 < Q27_RECALL_FLOOR:
+    if r27 != 1.0:
         raise RuntimeError(
-            f"q27 shipped-config recall {r27} fell below the gated floor "
-            f"{Q27_RECALL_FLOOR} — a knob change traded recall; fix the "
-            f"banding derivation before shipping this bench"
+            f"q27 shipped-config recall {r27} != 1.0 — the brute_cutover "
+            f"routes this threshold to exact_pairs_blocked, which must "
+            f"match the all-pairs truth exactly; fix the blocked GEMM or "
+            f"the routing before shipping this bench"
+        )
+    if r27_banded < Q27_RECALL_FLOOR:
+        raise RuntimeError(
+            f"q27 banded-config recall {r27_banded} fell below the gated "
+            f"floor {Q27_RECALL_FLOOR} — a knob change traded recall; fix "
+            f"the banding derivation before shipping this bench"
         )
 
     qz = entry._quantized(spark, sf_dir)
@@ -179,7 +194,8 @@ def bench_ann_recall(spark, sf_dir: str) -> dict[str, float]:
     brute = SIM.cosine_topk(queries, qz, k=5, id_col="vec_id", vec_col="qv")
     r33 = round(SIM.ann_recall(ivf, brute), 4)
     return {
-        "q27_lsh_pairs@sf0.01": r27,
+        "q27_shipped_exact@sf0.01": r27,
+        "q27_lsh_pairs_banded@sf0.01": r27_banded,
         "q27_lsh_pairs_single_band@sf0.01": r27_single,
         "q27_bands": entry.Q27_BANDS,
         "q27_recall_floor": Q27_RECALL_FLOOR,

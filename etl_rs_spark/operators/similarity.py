@@ -756,6 +756,116 @@ def _lsh_bucket_banded(vec: Column, band: int, n_planes: int, dim: int) -> Colum
     return bucket
 
 
+def exact_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+    round_digits: int = 6,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold, distributed as a block matrix
+    product — the right plan when LSH banding cannot beat brute force
+    (see ``embedding_near_dup_pairs``'s cutover).
+
+    Vectors are hash-assigned to ``n_blocks`` blocks; every unordered
+    block pair (b1 <= b2) becomes ONE group key, each row is exploded
+    into its ``n_blocks`` participating groups, and one
+    ``applyInPandas`` pass computes the group's pair scores as a numpy
+    float64 GEMM (vectorized BLAS, not per-pair interpreted expressions
+    — ~100x the throughput of an ArrayAggregate verify). One shuffle of
+    ``n_blocks``x the input, work spread over n_blocks*(n_blocks+1)/2
+    equal tasks, NO self-join and no single-partition exchange.
+
+    Cross-engine exactness: for the quantized integer vectors the
+    contract feeds in, every product/partial sum is exactly
+    representable in float64 (|v_i| <= ~1000, dim <= ~2000), so the
+    GEMM is exact integer arithmetic and summation order is irrelevant;
+    norms and the division are single IEEE ops on identical operands —
+    bit-identical to the Column-expression and DuckDB formulations.
+    The UDF emits the RAW score (pairs above ``threshold`` minus one
+    rounding ulp); the final ``F.round`` happens Spark-side so the
+    reported score is produced by the exact same rounding code as every
+    other operator here.
+
+    Scale envelope: exact all-pairs is inherently O(n^2) compute — this
+    operator distributes it evenly (each task is a (n/B)x(n/B) GEMM)
+    but does not change the asymptotics. It is the honest choice for
+    corpora up to ~10^6 vectors or as the fallback when the threshold
+    is too low for LSH; beyond that, raise the threshold (banding wins)
+    or use the IVF path. Choose ``n_blocks`` so 2n/B vectors fit a
+    task; duplication factor of the single shuffle is B.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_l", id_type),
+            StructField("id_r", id_type),
+            StructField("_raw", DoubleType()),
+        ]
+    )
+    blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks))
+    group_keys = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_blk"), F.lit(p)).alias("g1"),
+                F.greatest(F.col("_blk"), F.lit(p)).alias("g2"),
+            )
+            for p in range(n_blocks)
+        ]
+    )
+    exploded = (
+        df.select(F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+        .select(id_col, vec_col, "_blk", F.explode(group_keys).alias("_g"))
+        .select(
+            id_col, vec_col, "_blk",
+            F.col("_g.g1").alias("_g1"), F.col("_g.g2").alias("_g2"),
+        )
+    )
+    # emit margin: round(raw, d) >= t iff raw >= t - 0.5*10^-d; one full
+    # ulp of the rounding grid is a safe over-approximation, and the
+    # Spark-side round()+filter below makes the final cut
+    margin = threshold - 10.0 ** (-round_digits)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        g1, g2 = int(key[0]), int(key[1])
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        norms = np.sqrt((V * V).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if g1 == g2:
+                S = (V @ V.T) / np.outer(norms, norms)
+                il, ir = np.triu_indices(len(ids), k=1)
+                raw = S[il, ir]
+                id_l, id_r = ids[il], ids[ir]  # sorted ids: i<j => id_i<id_j
+            else:
+                lm = (pdf["_blk"].to_numpy() == g1)
+                Vl, Vr = V[lm], V[~lm]
+                nl, nr = norms[lm], norms[~lm]
+                idl_all, idr_all = ids[lm], ids[~lm]
+                S = (Vl @ Vr.T) / np.outer(nl, nr)
+                il, ir = np.nonzero(np.ones_like(S, dtype=bool))
+                raw = S.ravel()
+                a, b = idl_all[il], idr_all[ir]
+                swap = a > b  # canonical id_l < id_r across blocks
+                id_l, id_r = np.where(swap, b, a), np.where(swap, a, b)
+        keep = raw >= margin  # NaN (zero-norm) compares False: null rule
+        return pd.DataFrame(
+            {"id_l": id_l[keep], "id_r": id_r[keep], "_raw": raw[keep]}
+        )
+
+    pairs = exploded.groupBy("_g1", "_g2").applyInPandas(run, out_schema)
+    score = F.round(F.col("_raw"), round_digits).alias("score")
+    return pairs.select("id_l", "id_r", score).filter(
+        F.col("score") >= threshold
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
@@ -768,6 +878,8 @@ def embedding_near_dup_pairs(
     target_bucket_size: int = 1024,
     n_bands: int | None = None,
     target_recall: float = 0.95,
+    brute_cutover: float | None = 0.5,
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket self-join (near-
     identical vectors land in the same bucket with high probability),
@@ -795,11 +907,39 @@ def embedding_near_dup_pairs(
     happen to give. Pass ``n_bands=1`` explicitly for the original
     single-plane-set behavior (band 0 = the original planes; banded
     candidates are a superset). The exact-cosine verify runs once per
-    distinct pair — bands add candidates, never wrong scores."""
+    distinct pair — bands add candidates, never wrong scores.
+
+    ``brute_cutover`` is the COST-BASED strategy choice the derivation
+    enables: expected candidate volume of b bands of k planes is
+    ~(b / 2^k) * n^2/2 pairs, so when the derived b / 2^k reaches the
+    cutover fraction, banding generates as many candidates as exact
+    all-pairs verification would score — while also paying b× bucket
+    hashing, a distinct, and two vector join-backs. At that point the
+    operator routes to ``exact_pairs_blocked`` (blocked numpy GEMM:
+    cheaper per pair AND recall 1.0 by construction). This fires
+    exactly in the regime the S-curve says LSH loses — low thresholds
+    (e.g. 0.3: derived 13 bands / 2^3 buckets = 1.6x brute volume); at
+    near-dup-grade thresholds (>= ~0.9) the derived b stays far below
+    the cutover and the banded plan ships. The cutover applies ONLY
+    when ``n_bands`` is auto-derived — an explicit band count always
+    gets the banded plan — and only when ``max_bucket_size`` is unset:
+    the cap deliberately EXCLUDES mega-bucket pairs from the result,
+    a contract the exact path cannot honor, so asking for capped LSH
+    semantics always gets them. ``brute_cutover=None`` disables it."""
     if n_planes is None:
         n_planes = auto_n_planes(df.count(), target_bucket_size)
     if n_bands is None:
         n_bands = bands_for_recall(threshold, n_planes, target_recall)
+        if (
+            brute_cutover is not None
+            and max_bucket_size is None
+            and n_planes > 0
+            and n_bands / (2 ** n_planes) >= brute_cutover
+        ):
+            return exact_pairs_blocked(
+                df, threshold, id_col=id_col, vec_col=vec_col,
+                n_blocks=n_blocks, round_digits=round_digits,
+            )
     if n_bands < 1:
         raise ValueError(f"n_bands must be >= 1, got {n_bands}")
     base = df.select(

@@ -674,6 +674,74 @@ def test_near_dup_banding_raises_recall_monotonically(spark, vecs_large=None):
         assert exact[k] == v  # scores identical to the exact verify
 
 
+def test_exact_pairs_blocked_matches_truth(spark):
+    """Blocked-GEMM exact scorer: identical (id_l, id_r, score) map to
+    the one-bucket self-join verify at every block count — 1 (a single
+    diagonal GEMM), 4 (mixed diagonal/off-diagonal groups), 64 > n
+    (mostly singleton blocks) — with canonical id_l < id_r and
+    zero-norm vectors excluded by the NaN-compares-False null rule."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.randint(-50, 50) for _ in range(8)]) for i in range(90)]
+    rows.append((90, [0] * 8))  # zero norm: null score, never a pair
+    qz = spark.createDataFrame(rows, "vec_id int, qv array<bigint>")
+    truth = {
+        (r["id_l"], r["id_r"]): r["score"]
+        for r in sim.embedding_near_dup_pairs(
+            qz, dim=8, threshold=0.5, n_planes=0, n_bands=1,
+            id_col="vec_id", vec_col="qv",
+        ).collect()
+    }
+    assert truth  # the fixture does produce >=0.5 pairs
+    assert all(l < r for l, r in truth)
+    assert not any(90 in p for p in truth)
+    for n_blocks in (1, 4, 64):
+        got = {
+            (r["id_l"], r["id_r"]): r["score"]
+            for r in sim.exact_pairs_blocked(
+                qz, 0.5, id_col="vec_id", vec_col="qv", n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == truth, f"n_blocks={n_blocks}"
+
+
+def test_brute_cutover_routing(vecs):
+    """The cost-based strategy choice is visible in the plan: the exact
+    path is a grouped-map pandas stage (FlatMapGroupsInPandas), the
+    banded path is not. Auto-derived banding routes to exact exactly
+    when b/2^k reaches the cutover — and never when the caller pinned
+    n_bands, set max_bucket_size (capped semantics exclude mega-bucket
+    pairs, which the exact path cannot honor), or disabled the cutover."""
+
+    def plan(**kw):
+        df = sim.embedding_near_dup_pairs(vecs, dim=4, n_planes=3, **kw)
+        return df._jdf.queryExecution().analyzed().toString()
+
+    # threshold 0.3, k=3 -> 13 bands / 8 buckets = 1.6 >= 0.5: exact
+    assert "FlatMapGroupsInPandas" in plan(threshold=0.3)
+    # near-dup grade: 2 bands / 8 buckets = 0.25 < 0.5: banded ships
+    assert "FlatMapGroupsInPandas" not in plan(threshold=0.95)
+    # explicit knobs win over the cost model
+    assert "FlatMapGroupsInPandas" not in plan(threshold=0.3, n_bands=13)
+    assert "FlatMapGroupsInPandas" not in plan(threshold=0.3, max_bucket_size=100)
+    assert "FlatMapGroupsInPandas" not in plan(threshold=0.3, brute_cutover=None)
+    # cutover result at the routed threshold == the banded truth superset
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in sim.embedding_near_dup_pairs(
+            vecs, dim=4, threshold=0.3, n_planes=3
+        ).collect()
+    }
+    exact = {
+        (r["id_l"], r["id_r"])
+        for r in sim.embedding_near_dup_pairs(
+            vecs, dim=4, threshold=0.3, n_planes=0, n_bands=1
+        ).collect()
+    }
+    assert got == exact
+
+
 def test_png_codec_all_filters():
     """Pure-python PNG codec: our encoder round-trips, and the decoder
     reverses ALL five scanline filters (None/Sub/Up/Average/Paeth) and
