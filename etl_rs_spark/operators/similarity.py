@@ -837,10 +837,13 @@ def exact_pairs_blocked(
         V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         ids = pdf[id_col].to_numpy()
         norms = np.sqrt((V * V).sum(axis=1))
+        # threshold the score MATRIX, then index: id/raw arrays stay
+        # O(matches), not O(pairs); NaN (zero norm) compares False —
+        # the null rule. Only S itself is O(pairs), inherent to GEMM.
         with np.errstate(divide="ignore", invalid="ignore"):
             if g1 == g2:
                 S = (V @ V.T) / np.outer(norms, norms)
-                il, ir = np.triu_indices(len(ids), k=1)
+                il, ir = np.nonzero(np.triu(S >= margin, k=1))
                 raw = S[il, ir]
                 id_l, id_r = ids[il], ids[ir]  # sorted ids: i<j => id_i<id_j
             else:
@@ -849,15 +852,12 @@ def exact_pairs_blocked(
                 nl, nr = norms[lm], norms[~lm]
                 idl_all, idr_all = ids[lm], ids[~lm]
                 S = (Vl @ Vr.T) / np.outer(nl, nr)
-                il, ir = np.nonzero(np.ones_like(S, dtype=bool))
-                raw = S.ravel()
+                il, ir = np.nonzero(S >= margin)
+                raw = S[il, ir]
                 a, b = idl_all[il], idr_all[ir]
                 swap = a > b  # canonical id_l < id_r across blocks
                 id_l, id_r = np.where(swap, b, a), np.where(swap, a, b)
-        keep = raw >= margin  # NaN (zero-norm) compares False: null rule
-        return pd.DataFrame(
-            {"id_l": id_l[keep], "id_r": id_r[keep], "_raw": raw[keep]}
-        )
+        return pd.DataFrame({"id_l": id_l, "id_r": id_r, "_raw": raw})
 
     pairs = exploded.groupBy("_g1", "_g2").applyInPandas(run, out_schema)
     score = F.round(F.col("_raw"), round_digits).alias("score")
