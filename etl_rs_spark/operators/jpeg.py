@@ -1,0 +1,662 @@
+"""Baseline JPEG codec — pure Python + numpy, no external libraries.
+
+Implements the public ITU-T T.81 (JPEG) baseline sequential process:
+Huffman-coded 8-bit DCT with the Annex K reference quantization and
+Huffman tables. This replaces the last image-format stub in
+``operators/multimodal.py`` (WAV/PPM/PNG were already real codecs; the
+reference repo ships no media codecs at all — the stub existed only
+because this container lacks Pillow).
+
+Scope (and honest limits):
+- ``decode_jpeg``: baseline + extended-sequential Huffman (SOF0/SOF1),
+  1- or 3-component scans, any sampling factors (4:4:4 / 4:2:2 / 4:2:0
+  all arise as special cases), restart intervals, 8- and 16-bit DQT
+  precision, stuffed bytes, JFIF/EXIF APPn and COM segments skipped.
+  Progressive (SOF2), arithmetic coding, and 12-bit depth raise
+  ValueError — null-on-invalid stays the CALLER's policy, matching
+  decode_wav/decode_png.
+- ``encode_jpeg``: baseline SOF0 with the Annex K tables, quality
+  scaling per the widely published libjpeg formula, 4:4:4 or 4:2:0.
+  Exists to synthesize deterministic fixtures and to round-trip-test
+  the decoder; it is not a rate-optimized encoder.
+
+Execution model: the entropy-coded segment is inherently sequential
+per image, so decode parallelism at 100 TB comes from Spark — one
+payload per row, Arrow-batched through mapInPandas
+(multimodal.extract_features / extract_decoded_stats), never from
+threads inside the codec. The per-block math (dequantize + IDCT +
+upsample + colour convert) is vectorized numpy over ALL blocks of a
+component at once; only the Huffman bit walk is interpreted Python.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- Annex K reference tables (public spec constants) ------------------------
+
+#: zigzag[k] = raster index (row*8+col) of the k-th coefficient in
+#: zigzag scan order (T.81 Figure A.6)
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: T.81 Table K.1 — luminance quantization (raster order)
+QTABLE_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+#: T.81 Table K.2 — chrominance quantization (raster order)
+QTABLE_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# (BITS counts per code length 1..16, HUFFVAL symbol list) — T.81
+# Tables K.3-K.6, the tables every baseline encoder in practice uses
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+#: orthonormal 8-point DCT-II basis: _DCT_M[x, u] = c(u)/2 *
+#: cos((2x+1) u pi / 16); spatial = M @ coef @ M.T, coef = M.T @ s @ M
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for u in range(8)
+        ]
+        for x in range(8)
+    ]
+)
+
+
+def _quality_scaled(base: np.ndarray, quality: int) -> np.ndarray:
+    """The widely published libjpeg quality->table scaling."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+class _HuffDecoder:
+    """Canonical Huffman table flattened to a 16-bit-peek lookup: a
+    JPEG code is at most 16 bits, so ``lut_sym/lut_len[peek16]`` decode
+    any symbol in one table read instead of the spec's bit-serial
+    mincode/maxcode walk (T.81 F.2.2.3 — same canonical codes, ~20x
+    faster in interpreted Python)."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        sizes = [ln + 1 for ln in range(16) for _ in range(bits[ln])]
+        if len(sizes) != len(vals):
+            raise ValueError("DHT: BITS total does not match HUFFVAL length")
+        lut_sym = np.zeros(1 << 16, dtype=np.int16)
+        lut_len = np.zeros(1 << 16, dtype=np.uint8)  # 0 = invalid code
+        code, k = 0, 0
+        for si in range(1, 17):
+            while k < len(sizes) and sizes[k] == si:
+                start = code << (16 - si)
+                lut_sym[start : start + (1 << (16 - si))] = vals[k]
+                lut_len[start : start + (1 << (16 - si))] = si
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut_sym = lut_sym.tolist()  # plain lists: fastest indexing
+        self.lut_len = lut_len.tolist()
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for the encoder (same canonical codes)."""
+    sizes = [ln + 1 for ln in range(16) for _ in range(bits[ln])]
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for si in range(1, 17):
+        while k < len(sizes) and sizes[k] == si:
+            out[vals[k]] = (code, si)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """Entropy-segment bit reader. One upfront pass strips 0xFF00 byte
+    stuffing and records restart-marker positions; bit access is then a
+    4-byte window over the clean buffer, so a Huffman decode is one
+    16-bit peek + LUT read. The buffer is padded with 0xFF (the spec's
+    pad-bit value) — a stream that genuinely runs past its end is
+    caught by the byte-position check in ``check_bounds``."""
+
+    def __init__(self, data: bytes, pos: int):
+        clean = bytearray()
+        restarts: list[tuple[int, int]] = []  # (byte offset in clean, RSTn)
+        i = len_d = len(data)
+        i = pos
+        while True:
+            j = data.find(b"\xff", i)
+            if j == -1 or j + 1 >= len_d:
+                clean += data[i:]
+                break
+            nxt = data[j + 1]
+            clean += data[i:j]
+            if nxt == 0x00:  # stuffed data byte
+                clean.append(0xFF)
+                i = j + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                restarts.append((len(clean), nxt))
+                i = j + 2
+            elif nxt == 0xFF:  # fill byte
+                i = j + 1
+            else:  # end of scan (EOI, next marker)
+                break
+        self.nbytes = len(clean)
+        # 8 pad bytes + the maxbits guard in decode_symbol together
+        # bound any overrun peek inside the buffer: a symbol decoded
+        # past maxbits raises first, and the at-most-one straddling
+        # symbol+receive advances < 32 bits past the end
+        self.buf = bytes(clean) + b"\xff" * 8
+        self.maxbits = (self.nbytes << 3) + 7
+        self.bitpos = 0
+        self.restarts = restarts
+        self.next_restart = 0
+
+    def peek16(self) -> int:
+        buf, bp = self.buf, self.bitpos
+        k = bp >> 3
+        w = (buf[k] << 24) | (buf[k + 1] << 16) | (buf[k + 2] << 8) | buf[k + 3]
+        return (w >> (16 - (bp & 7))) & 0xFFFF
+
+    def receive(self, n: int) -> int:
+        v = self.peek16() >> (16 - n)
+        self.bitpos += n
+        return v
+
+    def decode_symbol(self, table: _HuffDecoder) -> int:
+        if self.bitpos > self.maxbits:
+            raise ValueError("JPEG entropy stream truncated")
+        w = self.peek16()
+        ln = table.lut_len[w]
+        if ln == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.bitpos += ln
+        return table.lut_sym[w]
+
+    def check_bounds(self) -> None:
+        if (self.bitpos >> 3) > self.nbytes:
+            raise ValueError("JPEG entropy stream truncated")
+
+    def sync_restart(self, expect_n: int) -> None:
+        """Byte-align to the recorded RSTn boundary, check the modulo-8
+        sequence number."""
+        if self.next_restart >= len(self.restarts):
+            raise ValueError("JPEG: expected restart marker, found data")
+        offset, m = self.restarts[self.next_restart]
+        self.next_restart += 1
+        # padding bits between here and the marker must not span data
+        if self.bitpos > offset * 8:
+            raise ValueError("JPEG: data ran past restart marker")
+        self.bitpos = offset * 8
+        if (m & 7) != (expect_n & 7):
+            raise ValueError("JPEG: restart marker out of sequence")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t received magnitude bits to the
+    signed coefficient value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline/extended-sequential Huffman JPEG to (h, w, 3)
+    uint8 RGB (grayscale is replicated to 3 channels). Raises ValueError
+    on non-JPEG bytes or unsupported modes (progressive, arithmetic,
+    12-bit) — null-on-invalid is the caller's policy."""
+    d = payload
+    if len(d) < 4 or d[0] != 0xFF or d[1] != 0xD8:
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, _HuffDecoder] = {}
+    ac_tables: dict[int, _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None  # (h, w, comps) with comps = [(cid, Hi, Vi, Tq)]
+    rgb = None
+
+    while pos + 1 < len(d):
+        if d[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = d[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(d):
+            raise ValueError("truncated JPEG marker segment")
+        (seglen,) = struct.unpack_from(">H", d, pos + 2)
+        body = d[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG marker segment")
+
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body[i : i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                if tbl.size != 64:
+                    raise ValueError("truncated JPEG DQT")
+                # table arrives in zigzag order; store raster-order
+                raster = np.zeros(64, dtype=np.int64)
+                raster[ZIGZAG] = tbl
+                qtables[tq] = raster.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                i += 17 + n
+                tbl = _HuffDecoder(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+            prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported, got {prec}-bit")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * c]))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG process (SOF{marker - 0xC0}): only "
+                f"baseline/extended-sequential Huffman (SOF0/SOF1)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            rgb = _decode_scan(
+                d, pos + 2 + seglen, body, frame, qtables,
+                dc_tables, ac_tables, restart_interval,
+            )
+            break  # single-scan baseline: done
+        pos += 2 + seglen
+
+    if rgb is None:
+        raise ValueError("JPEG contains no decodable scan")
+    return rgb
+
+
+def _decode_scan(d, pos, sos, frame, qtables, dc_tables, ac_tables, ri):
+    h, w, comps = frame
+    ns = sos[0]
+    if ns != len(comps):
+        raise ValueError("JPEG: partial-component scans not supported")
+    scan_tables = {}
+    for c in range(ns):
+        cs, tdta = sos[1 + 2 * c], sos[2 + 2 * c]
+        scan_tables[cs] = (tdta >> 4, tdta & 15)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component coefficient planes, MCU-padded
+    planes = []
+    for cid, hi, vi, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"JPEG references missing DQT {tq}")
+        td, ta = scan_tables[cid]
+        if td not in dc_tables or ta not in ac_tables:
+            raise ValueError("JPEG references missing DHT")
+        planes.append(
+            {
+                "hi": hi, "vi": vi, "q": qtables[tq],
+                "dc": dc_tables[td], "ac": ac_tables[ta],
+                "coef": np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32),
+                "pred": 0,
+            }
+        )
+
+    reader = _BitReader(d, pos)
+    zz = ZIGZAG
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu_count and mcu_count % ri == 0:
+                reader.sync_restart(mcu_count // ri - 1)
+                for p in planes:
+                    p["pred"] = 0
+            for p in planes:
+                hi, vi = p["hi"], p["vi"]
+                for by in range(vi):
+                    for bx in range(hi):
+                        block = p["coef"][my * vi + by, mx * hi + bx]
+                        t = reader.decode_symbol(p["dc"])
+                        diff = _extend(reader.receive(t), t) if t else 0
+                        p["pred"] += diff
+                        block[0] = p["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(p["ac"])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            block[zz[k]] = _extend(reader.receive(s), s)
+                            k += 1
+            mcu_count += 1
+        reader.check_bounds()  # truncated stream: fail the row, not later
+
+    # dequantize + batch IDCT + upsample, all vectorized numpy
+    out_planes = []
+    for p in planes:
+        by, bx = p["coef"].shape[:2]
+        coef = p["coef"].reshape(by, bx, 8, 8) * p["q"][None, None]
+        spatial = np.einsum("xu,ijuv,yv->ijxy", _DCT_M, coef.astype(np.float64), _DCT_M)
+        img = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        # replicate up to full MCU-grid resolution, then crop
+        img = np.repeat(np.repeat(img, vmax // p["vi"], axis=0), hmax // p["hi"], axis=1)
+        out_planes.append(img[:h, :w])
+
+    if len(out_planes) == 1:
+        y = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# -- encoder -----------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_align(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+    def raw_marker(self, m: int) -> None:
+        """Append a marker (byte-aligned, never stuffed)."""
+        self.pad_align()
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.pad_align()
+        return bytes(self.out)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(category, magnitude bits) for a DC diff / AC coefficient —
+    negative values use the spec's one's-complement encoding."""
+    if v == 0:
+        return 0, 0
+    t = int(abs(v)).bit_length()
+    return t, v if v > 0 else v + (1 << t) - 1
+
+
+def _encode_blocks(writer, blocks, qt, dc_enc, ac_enc, pred):
+    """Huffman-encode a sequence of 8x8 sample blocks; returns the new
+    DC predictor."""
+    zz = ZIGZAG
+    for blk in blocks:
+        coef = _DCT_M.T @ (blk.astype(np.float64) - 128.0) @ _DCT_M
+        q = np.rint(coef / qt).astype(np.int64).reshape(64)[zz]
+        t, bits = _mag_bits(int(q[0]) - pred)
+        pred = int(q[0])
+        code, ln = dc_enc[t]
+        writer.write(code, ln)
+        if t:
+            writer.write(bits, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(q[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]  # ZRL
+                writer.write(code, ln)
+                run -= 16
+            t, bits = _mag_bits(v)
+            code, ln = ac_enc[(run << 4) | t]
+            writer.write(code, ln)
+            writer.write(bits, t)
+            run = 0
+        if run:
+            code, ln = ac_enc[0x00]  # EOB
+            writer.write(code, ln)
+    return pred
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) -> (H//8, W//8, 8, 8) block view (H, W multiples of 8)."""
+    hh, ww = plane.shape
+    return plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder: (h, w, 3) uint8 RGB -> JPEG bytes with the
+    Annex K tables scaled to ``quality``; ``subsampling`` is "444"
+    (one block each per MCU) or "420" (2x2 luma blocks + box-averaged
+    chroma). ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that many MCUs (predictors reset) — exists mainly to
+    round-trip-test the decoder's restart path."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (h, w, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    h, w = px.shape[:2]
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    qt_l = _quality_scaled(QTABLE_LUMA, quality)
+    qt_c = _quality_scaled(QTABLE_CHROMA, quality)
+    qt_l8, qt_c8 = qt_l.reshape(8, 8), qt_c.reshape(8, 8)
+
+    if subsampling == "444":
+        hi_l = vi_l = 1
+        mcu = 8
+    else:
+        hi_l = vi_l = 2
+        mcu = 16
+
+    def pad(plane: np.ndarray, mult: int) -> np.ndarray:
+        ph = (-plane.shape[0]) % mult
+        pw = (-plane.shape[1]) % mult
+        return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+    yp = pad(y, mcu)
+    if subsampling == "420":
+        # box-average 2x2 on the MCU-padded plane, then the chroma grid
+        # is already a multiple of 8
+        cbp = pad(cb, mcu)
+        crp = pad(cr, mcu)
+        cbp = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+        crp = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+    else:
+        cbp, crp = pad(cb, 8), pad(cr, 8)
+
+    dc_l = _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _huff_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    yb, cbb, crb = _to_blocks(yp), _to_blocks(cbp), _to_blocks(crp)
+    writer = _BitWriter()
+    pred_y = pred_cb = pred_cr = 0
+    mcux = cbb.shape[1]
+    mcuy = cbb.shape[0]
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                n = mcu_count // restart_interval - 1
+                writer.raw_marker(0xD0 + (n & 7))
+                pred_y = pred_cb = pred_cr = 0
+            mcu_count += 1
+            if subsampling == "420":
+                lum = [
+                    yb[2 * my + by, 2 * mx + bx]
+                    for by in range(2) for bx in range(2)
+                ]
+            else:
+                lum = [yb[my, mx]]
+            pred_y = _encode_blocks(writer, lum, qt_l8, dc_l, ac_l, pred_y)
+            pred_cb = _encode_blocks(writer, [cbb[my, mx]], qt_c8, dc_c, ac_c, pred_cb)
+            pred_cr = _encode_blocks(writer, [crb[my, mx]], qt_c8, dc_c, ac_c, pred_cr)
+    entropy = writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tq: int, table: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tq]) + bytes(int(table[z]) for z in ZIGZAG))
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hi_l << 4) | vi_l, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return (
+        b"\xff\xd8" + app0 + dri + dqt(0, qt_l) + dqt(1, qt_c)
+        + dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+        + dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+        + dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        + dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+        + sof + sos + entropy + b"\xff\xd9"
+    )

@@ -4,14 +4,16 @@ columns with typed metadata.
 The Spark-side contract is real and tested — schema, Arrow batch shape,
 mapInPandas partitioning. Codecs come in two tiers:
 
-- REAL decoders for container formats that need no external library:
-  PCM16 WAV (RIFF chunk walk + numpy frombuffer) and binary PPM (P6).
-  ``synth_media`` emits genuine WAV payloads for its audio rows, so
-  ``extract_features`` exercises a real decode end-to-end in tests.
-- A clearly marked STUB for formats whose codecs aren't in this
-  container (png/jpeg/video): strict mode raises NotImplementedError,
-  test mode produces a deterministic fake. Swapping in Pillow/pyav
-  later changes ONE function, not the pipeline.
+- REAL decoders, no external library: PCM16 WAV (RIFF chunk walk +
+  numpy frombuffer), binary PPM (P6), PNG (zlib + all five scanline
+  filters), and baseline JPEG (operators/jpeg.py — full T.81 baseline
+  Huffman decode). ``synth_media`` emits genuine WAV/PPM/PNG (and,
+  opt-in, JPEG) payloads, so ``extract_features`` /
+  ``extract_decoded_stats`` exercise real decodes end-to-end in tests.
+- A clearly marked STUB for compressed-video codecs (H.264 et al.),
+  which genuinely need pyav: strict mode raises NotImplementedError,
+  test mode produces a deterministic fake. Swapping in pyav later
+  changes ONE function, not the pipeline.
 
 At 100 TB: binary payloads never pass through Python row-at-a-time —
 they move as Arrow buffers into mapInPandas batches; metadata-only
@@ -90,17 +92,44 @@ def _synth_png(media_id: int) -> bytes:
     return encode_png(pix.reshape(h, w, 3))
 
 
+def _synth_jpeg(media_id: int) -> bytes:
+    """Deterministic REAL baseline-JPEG payload: a seeded smooth ramp
+    over a 16x16 RGB raster through operators.jpeg.encode_jpeg. Unlike
+    the WAV/PPM/PNG ramps the decoded pixels are NOT SQL-replayable
+    (JPEG is lossy); parity tests compare the Spark decode against a
+    driver-side decode_jpeg instead."""
+    from etl_rs_spark.operators.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    base = (media_id * 37) % 200
+    pix = np.stack(
+        [
+            np.clip(base + yy * 3, 0, 255),
+            np.clip(base // 2 + xx * 3, 0, 255),
+            np.clip(255 - base - yy - xx, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_jpeg(pix, quality=90, subsampling="444")
+
+
 def synth_media(
     spark: SparkSession, n: int, seed: int = 42, partitions: int = 8,
     hash_mode: str = "xxhash64", include_ppm: bool = False,
+    real_jpeg: bool = False,
 ) -> DataFrame:
     """Deterministic fake media table. audio/wav rows carry a REAL
     PCM16 WAV container (Arrow-batched UDF encode) and — with
     ``include_ppm=True`` — image/ppm rows carry a REAL binary-PPM
-    raster; png/jpeg rows carry opaque seeded bytes (their codecs are
-    the honest stub). Generated distributed from spark.range — no
-    driver materialization. Small test fixtures default to 8 partitions
-    so a tiny table doesn't spin up one Python worker per core.
+    raster and png rows a REAL zlib PNG. With ``real_jpeg=True`` the
+    jpeg rows additionally carry a genuine baseline JFIF container
+    (operators/jpeg.py); the default keeps them opaque seeded bytes
+    because every existing SQL oracle replays THOSE bytes — JPEG being
+    lossy, its decode parity is tested against a driver-side
+    decode_jpeg, not DuckDB. Generated distributed from spark.range —
+    no driver materialization. Small test fixtures default to 8
+    partitions so a tiny table doesn't spin up one Python worker per
+    core.
 
     ``hash_mode="portable"`` assigns mime/width/height via the binlog's
     polynomial fold hash (sources.binlog._fold) so a SQL oracle can
@@ -119,6 +148,9 @@ def synth_media(
     )
     png_udf = F.pandas_udf(
         lambda ids: ids.map(lambda i: _synth_png(int(i))), _Bin()
+    )
+    jpeg_udf = F.pandas_udf(
+        lambda ids: ids.map(lambda i: _synth_jpeg(int(i))), _Bin()
     )
 
     def H(salt: str) -> F.Column:
@@ -150,10 +182,13 @@ def synth_media(
             F.when(F.col("mime") == "audio/wav", wav_udf(F.col("id")))
             .when(F.col("mime") == "image/ppm", ppm_udf(F.col("id")))
             # real-codec mode also makes png rows GENUINE PNG containers
-            # (jpeg stays an opaque stand-in — its codec is the stub)
             .when(
                 F.lit(include_ppm) & (F.col("mime") == "image/png"),
                 png_udf(F.col("id")),
+            )
+            .when(
+                F.lit(real_jpeg) & (F.col("mime") == "image/jpeg"),
+                jpeg_udf(F.col("id")),
             )
             .otherwise(F.encode(F.format_string("payload-%d", F.col("id")), "utf-8")),
         )
@@ -378,11 +413,12 @@ def _pool_to_dim(values: np.ndarray, dim: int) -> list[float]:
 
 
 def decode_media(payload: bytes, mime: str, dim: int, strict: bool) -> list[float]:
-    """Dispatch: REAL decode for wav/ppm/png, stub for formats whose
-    codecs aren't shipped here (jpeg, video). Strict mode propagates a
-    real codec's ValueError (and raises for stub formats); non-strict
-    (test) mode falls back to the deterministic stub on ANY malformed
-    payload — mislabeled fixtures must not kill the whole Spark task."""
+    """Dispatch: REAL decode for wav/ppm/png/jpeg, stub for formats
+    whose codecs aren't shipped here (compressed video). Strict mode
+    propagates a real codec's ValueError (and raises for stub formats);
+    non-strict (test) mode falls back to the deterministic stub on ANY
+    malformed payload — mislabeled fixtures must not kill the whole
+    Spark task."""
     try:
         if mime == "audio/wav":
             samples, _rate = decode_wav(payload)
@@ -396,6 +432,10 @@ def decode_media(payload: bytes, mime: str, dim: int, strict: bool) -> list[floa
             # magic is NOT part of the dispatch condition, which would
             # route the row to the stub's misleading NotImplementedError
             return _pool_to_dim(decode_png(payload).astype(np.float64) / 255.0, dim)
+        if mime == "image/jpeg":
+            from etl_rs_spark.operators.jpeg import decode_jpeg
+
+            return _pool_to_dim(decode_jpeg(payload).astype(np.float64) / 255.0, dim)
     except ValueError:
         if strict:
             raise
@@ -467,6 +507,11 @@ def decoded_stats(payload: bytes, mime: str) -> tuple[int, int]:
         return int(px.size), int(px.sum())
     if mime == "image/png":
         px = decode_png(payload).astype(np.int64)
+        return int(px.size), int(px.sum())
+    if mime == "image/jpeg":
+        from etl_rs_spark.operators.jpeg import decode_jpeg
+
+        px = decode_jpeg(payload).astype(np.int64)
         return int(px.size), int(px.sum())
     raise ValueError(f"no real codec for {mime!r} — decoded_stats never stubs")
 

@@ -54,11 +54,37 @@ def test_wav_round_trip_any_pcm(samples):
 
 
 @SET
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.sampled_from(["444", "420"]),
+)
+def test_jpeg_q100_error_bound_any_raster(w, h, seed, sub):
+    """JPEG is lossy so there is no exact round trip; the invariant is
+    the quality-100 bound: all-ones quant tables leave only DCT/round
+    noise on luma, and 4:2:0 adds box-averaged chroma. Shape and dtype
+    must be exact; per-pixel error bounded (luma-only grey rasters
+    stay within a few counts even under 4:2:0)."""
+    from etl_rs_spark.operators import jpeg as J
+
+    rng = np.random.RandomState(seed % 2**32)
+    grey = rng.randint(0, 256, size=(h, w, 1)).astype(np.uint8)
+    px = np.repeat(grey, 3, axis=2)  # zero chroma: bound holds under 420 too
+    out = J.decode_jpeg(J.encode_jpeg(px, quality=100, subsampling=sub))
+    assert out.shape == px.shape and out.dtype == np.uint8
+    err = np.abs(out.astype(np.int32) - px.astype(np.int32))
+    assert err.max() <= 6
+
+
+@SET
 @given(payload=st.binary(min_size=0, max_size=64))
 def test_codecs_never_accept_garbage_silently(payload):
     """Malformed containers raise ValueError (null-on-invalid is the
     CALLER's policy) — they never return fabricated data."""
-    for decoder in (mm.decode_png, mm.decode_ppm, mm.decode_wav):
+    from etl_rs_spark.operators.jpeg import decode_jpeg
+
+    for decoder in (mm.decode_png, mm.decode_ppm, mm.decode_wav, decode_jpeg):
         try:
             decoder(payload)
         except ValueError:

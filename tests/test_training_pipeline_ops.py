@@ -350,7 +350,8 @@ def test_media_plumbing(spark):
 
 def test_media_strict_mode_raises_only_for_stub_formats(spark):
     media = mm.synth_media(spark, 30)
-    # png/jpeg have no shipped codec: strict raises
+    # default synth gives png/jpeg rows OPAQUE bytes — the real codecs
+    # reject them, and strict propagates the ValueError
     with pytest.raises(Exception):
         mm.extract_features(
             mm.filter_media_metadata(media, mimes=("image/png", "image/jpeg")),
@@ -627,11 +628,15 @@ def test_decoded_stats_real_codecs(spark):
             mult = 97 if r["mime"] == "image/ppm" else 101
             px = (i * 2654435761 + idx * mult) % 256
             assert (r["n_values"], r["sum_values"]) == (w * h * 3, int(px.sum()))
-    # a mime with no real codec must raise, never stub
+    # jpeg rows carry opaque bytes in this mode: the real jpeg codec
+    # rejects them, and decoded_stats never stubs
     with pytest.raises(Exception):
         mm.extract_decoded_stats(
             mm.filter_media_metadata(media, mimes=("image/jpeg",))
         ).collect()
+    # a mime with no real codec at all must raise too
+    with pytest.raises(ValueError, match="no real codec"):
+        mm.decoded_stats(b"anything", "video/mp4")
 
 
 def test_ppm_round_trip(spark):
