@@ -186,6 +186,23 @@ class _HuffDecoder:
         self.lut_len = lut_len.tolist()
 
 
+# Building a 65536-slot LUT per DHT is the dominant cost for small
+# images, and nearly every baseline JPEG (including everything
+# encode_jpeg emits) carries the identical Annex K tables — cache by
+# table content so the build amortizes to once per process.
+_DECODER_CACHE: dict[tuple, _HuffDecoder] = {}
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> _HuffDecoder:
+    key = (tuple(bits), tuple(vals))
+    dec = _DECODER_CACHE.get(key)
+    if dec is None:
+        if len(_DECODER_CACHE) >= 64:  # hostile many-table streams
+            _DECODER_CACHE.clear()
+        dec = _DECODER_CACHE[key] = _HuffDecoder(bits, vals)
+    return dec
+
+
 def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) for the encoder (same canonical codes)."""
     sizes = [ln + 1 for ln in range(16) for _ in range(bits[ln])]
@@ -211,7 +228,7 @@ class _BitReader:
     def __init__(self, data: bytes, pos: int):
         clean = bytearray()
         restarts: list[tuple[int, int]] = []  # (byte offset in clean, RSTn)
-        i = len_d = len(data)
+        len_d = len(data)
         i = pos
         while True:
             j = data.find(b"\xff", i)
@@ -291,7 +308,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline/extended-sequential Huffman JPEG to (h, w, 3)
     uint8 RGB (grayscale is replicated to 3 channels). Raises ValueError
     on non-JPEG bytes or unsupported modes (progressive, arithmetic,
-    12-bit) — null-on-invalid is the caller's policy."""
+    12-bit) — null-on-invalid is the caller's policy.
+
+    ValueError is the ONLY malformed-input exception: decode_media's
+    non-strict fallback catches exactly ValueError, so a parse error
+    surfacing as struct.error/IndexError/KeyError would kill the whole
+    Spark task on one corrupt row. The guard below converts any
+    low-level slice/unpack/lookup failure on hostile bytes."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     d = payload
     if len(d) < 4 or d[0] != 0xFF or d[1] != 0xD8:
         raise ValueError("not a JPEG (missing SOI)")
@@ -348,7 +378,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
                 i += 17 + n
-                tbl = _HuffDecoder(bits, vals)
+                tbl = _huff_decoder(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = tbl
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
@@ -360,7 +390,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid = body[6 + 3 * c]
                 hv = body[7 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * c]))
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):  # T.81 B.2.2
+                    raise ValueError(f"JPEG sampling factor out of range: H{hi}V{vi}")
+                comps.append((cid, hi, vi, body[8 + 3 * c]))
+            if h == 0 or w == 0:
+                raise ValueError("JPEG frame with zero dimension")
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -393,9 +428,20 @@ def _decode_scan(d, pos, sos, frame, qtables, dc_tables, ac_tables, ri):
     for c in range(ns):
         cs, tdta = sos[1 + 2 * c], sos[2 + 2 * c]
         scan_tables[cs] = (tdta >> 4, tdta & 15)
+    if any(cid not in scan_tables for cid, *_ in comps):
+        raise ValueError("JPEG SOS component ids do not match SOF")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    # the upsample below replicates by integer factor vmax//vi; spec-legal
+    # non-divisible mixes (e.g. V=3 with V=2) would silently mis-size the
+    # plane, so reject them clearly (libjpeg rejects these too)
+    for _cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                f"unsupported JPEG sampling factors (H{hi}V{vi} vs "
+                f"max H{hmax}V{vmax}: non-integer upsample ratio)"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 

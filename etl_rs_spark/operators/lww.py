@@ -98,7 +98,17 @@ def lww_thin(
         .agg(F.max(ord_struct).alias("_wo"))
         .select(key, *[F.col(f"_wo.{c}").alias(c) for c in order])
     )
-    survivors = df.join(F.broadcast(win_keys), on=[key, *order], how="inner")
+    # the join-back must be NULL-SAFE: a key whose winning order tuple
+    # contains NULL (source that doesn't stamp lsn) still wins in
+    # lww_agg's max_by, and a plain equi join (NULL != NULL) would
+    # silently drop it here — diverging from the other strategies.
+    # <=> keys still plan as a BroadcastHashJoin.
+    left, right = df.alias("_l"), win_keys.alias("_r")
+    cond = None
+    for c in [key, *order]:
+        e = F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+        cond = e if cond is None else cond & e
+    survivors = left.join(F.broadcast(right), on=cond, how="inner").select("_l.*")
     # duplicate deliveries of the winning event are payload-identical;
     # one winners-sized agg folds them (same max_by shape as lww_agg)
     winner = F.max_by(F.struct(*[F.col(c) for c in payload]), ord_struct).alias("_w")

@@ -83,9 +83,14 @@ class LakehouseTable:
         ``compact()`` runs as its own follow-up snapshot commit. Bounds
         read amplification (a MOR read scans base + every delta file and
         pays an LWW agg over all of them) without a caller-managed
-        maintenance schedule. Recorded in the manifest at table CREATION
-        like mode/n_buckets; the manifest is authoritative on an
-        existing table. Commit-time and background-safe: the compaction
+        maintenance schedule. Unlike the LAYOUT fields (mode/n_buckets,
+        manifest-authoritative — changing them would corrupt bucket
+        placement), this is pure maintenance policy: passing a non-None
+        value when opening an existing table ADOPTS it immediately and
+        persists it with the next merge commit, so
+        ``jobs/replay.py --auto-compact-files`` works on a pre-existing
+        lake path instead of being silently ignored. Passing None keeps
+        whatever the manifest records. Commit-time and background-safe: the compaction
         is an ordinary optimistic snapshot commit, so readers see either
         the pre- or post-compaction version, never a blend, and a
         concurrent writer losing the version race simply retries against
@@ -125,7 +130,12 @@ class LakehouseTable:
         self.mode = man.get("mode", "cow")
         self.key_col = man.get("key_col", key_col)
         self.n_buckets = int(man.get("n_buckets", n_buckets))
-        self.auto_compact_files = man.get("auto_compact_files")
+        # maintenance policy, not layout: an explicit constructor value
+        # overrides the manifest and is persisted at the next commit
+        if auto_compact_files is not None:
+            self.auto_compact_files = auto_compact_files
+        else:
+            self.auto_compact_files = man.get("auto_compact_files")
         # refuse to open a table bucketed under a different hash family —
         # merging into it would scan the wrong buckets (see BUCKET_HASH).
         # Manifests predating the field were written by the murmur3 code
@@ -427,6 +437,9 @@ class LakehouseTable:
         man["committed"].append(batch_key)
         man["history"] = (man["history"] + [{"batch": batch_key, "version": version, "lineage": lineage or {}}])[-100:]
         man["version"] = version
+        # persist the in-session maintenance policy (see __init__: an
+        # explicit constructor value overrides the manifest's)
+        man["auto_compact_files"] = self.auto_compact_files
         self._write_manifest(man, version)
         out = {"skipped": False, "version": version, "touched_buckets": touched}
         # MOR maintenance policy: fold deltas once any bucket's live

@@ -89,6 +89,9 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    for kv in args.conf:
+        if "=" not in kv:
+            ap.error(f"--conf {kv!r} is not of the form key=value")
     spark = get_spark(
         app_name=f"cdc-replay-{args.mode}-c{args.cpus}",
         master=f"local[{args.cpus}]",

@@ -339,6 +339,68 @@ def test_mor_auto_compaction_bounds_read_amplification(
     assert reopened.auto_compact_files == 2
 
 
+def test_auto_compact_policy_adoptable_on_existing_table(
+    spark, tmp_path, binlog, oracle_state
+):
+    """auto_compact_files is maintenance POLICY, not layout: opening an
+    existing policy-off table with an explicit value must adopt it (the
+    jobs/replay.py --auto-compact-files flag on a pre-existing --lake
+    path) and persist it with the next commit — not silently keep the
+    manifest's None."""
+    _, segs, _ = binlog
+    path = str(tmp_path / "t")
+    t0 = LakehouseTable(spark, path, n_buckets=8, mode="mor")
+    ev0 = spark.read.option("mergeSchema", True).parquet(segs[0])
+    process_batch(t0, ev0, f"a:{segs[0]}", cfg=CFG)
+    assert t0.manifest()["auto_compact_files"] is None
+    # reopen WITH the policy: adopted in-session and active immediately
+    t1 = LakehouseTable(spark, path, n_buckets=8, mode="mor", auto_compact_files=1)
+    assert t1.auto_compact_files == 1
+    fired = 0
+    for seg in segs[1:]:
+        events = spark.read.option("mergeSchema", True).parquet(seg)
+        fired += int(bool(
+            process_batch(t1, events, f"a:{seg}", cfg=CFG).get("auto_compacted")
+        ))
+    assert fired >= 1
+    assert max(len(v) for v in t1.manifest()["buckets"].values()) <= 2
+    assert table_state(t1.read()) == oracle_state
+    # the adopted policy is now manifest state: a plain reopen inherits it
+    assert LakehouseTable(spark, path, mode="mor").auto_compact_files == 1
+
+
+def test_lww_flavors_agree_on_null_order_columns(spark):
+    """A key whose winning (lsn, offset) contains NULLs (a source that
+    doesn't stamp lsn) must not vanish from lww_thin — its join-back is
+    null-safe. All-null, mixed, and no-null keys must agree with
+    lww_agg row-for-row."""
+    rows = [
+        # duplicate deliveries share the payload (the binlog invariant) —
+        # a tie on (NULL, NULL) must fold to one row, not pick between
+        # divergent payloads
+        ("all_null", None, None, [1]),
+        ("all_null", None, None, [1]),
+        ("mixed", None, 5, [3]),
+        ("mixed", 7, 1, [4]),
+        ("null_offset", 3, None, [5]),
+        ("null_offset", 3, 2, [6]),
+        ("plain", 1, 1, [7]),
+        ("plain", 2, 0, [8]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, lsn long, offset long, tokens array<int>"
+    )
+    def state(out):
+        return {
+            r["doc_id"]: (r["lsn"], r["offset"], tuple(r["tokens"]))
+            for r in out.collect()
+        }
+    a, t = state(lww_agg(df)), state(lww_thin(df))
+    assert set(t) == {"all_null", "mixed", "null_offset", "plain"}
+    assert a == t
+    assert t["mixed"] == (7, 1, (4,)) and t["plain"] == (2, 0, (8,))
+
+
 def test_bulk_replay_matches_oracle(spark, tmp_path, binlog, oracle_state):
     """The empty-table bulk fast path (no touched-bucket scan, no merge
     join) must land the same final state as segmented replay — it is

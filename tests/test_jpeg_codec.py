@@ -203,6 +203,50 @@ def test_jpeg_error_paths():
         J.decode_jpeg(stripped)
 
 
+def test_jpeg_malformed_raises_valueerror_only():
+    """decode_media's non-strict fallback catches exactly ValueError, so
+    a parse failure escaping as struct.error/IndexError/KeyError would
+    kill the whole Spark task on one corrupt row. These payloads are
+    SOI-valid but malformed at deeper parse stages that used to leak
+    low-level exceptions."""
+    cases = [
+        b"\xff\xd8\xff\xc0\x00\x03\x08",  # SOF body too short for >HH
+        b"\xff\xd8\xff\xdd\x00\x02",  # DRI with empty body
+    ]
+    px = _smooth(16, 16)
+    good = J.encode_jpeg(px, quality=90)
+    sos_at = good.find(b"\xff\xda")
+    # SOS component selector that matches no SOF component id
+    bad_sel = bytearray(good)
+    bad_sel[sos_at + 5] = 0x7F
+    cases.append(bytes(bad_sel))
+    # SOS marker whose declared body extends past the payload end
+    cases.append(good[: sos_at + 4])
+    # consistent seglen but Ns=3 with only one selector pair present:
+    # sos[1 + 2*c] indexes past the body (was IndexError)
+    cases.append(good[:sos_at] + b"\xff\xda\x00\x05\x03\x01\x00")
+    for payload in cases:
+        with pytest.raises(ValueError):
+            J.decode_jpeg(payload)
+
+
+def test_jpeg_rejects_hostile_sampling_factors():
+    """Hi/Vi outside [1,4] (div-by-zero risk) and spec-legal but
+    non-divisible mixes (3 vs 2 → non-integer upsample ratio) must be
+    clean ValueErrors, not ZeroDivisionError / numpy broadcast errors."""
+    good = J.encode_jpeg(_smooth(16, 16), quality=90, subsampling="420")
+    sof_at = good.find(b"\xff\xc0")
+    zero_hv = bytearray(good)
+    zero_hv[sof_at + 11] = 0x00  # first component H=0 V=0
+    with pytest.raises(ValueError, match="sampling factor out of range"):
+        J.decode_jpeg(bytes(zero_hv))
+    mixed = bytearray(good)
+    mixed[sof_at + 11] = 0x33  # Y at 3x3 against 1x1 chroma: 3//2 trap shape
+    mixed[sof_at + 14] = 0x22  # Cb at 2x2 -> vmax=3, vi=2 non-divisible
+    with pytest.raises(ValueError, match="non-integer upsample"):
+        J.decode_jpeg(bytes(mixed))
+
+
 def test_jpeg_decode_rejects_missing_tables():
     """A scan referencing a DQT/DHT id that was never defined must be a
     clean ValueError, not an IndexError/KeyError."""
