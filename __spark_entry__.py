@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 from etl_rs_spark.functions import transforms as T
 from etl_rs_spark.operators import dedup_scale as DS
 from etl_rs_spark.operators import multimodal as MM
+from etl_rs_spark.operators import packing as PK
 from etl_rs_spark.operators import sessions as SESS
 from etl_rs_spark.operators import similarity as SIM
 from etl_rs_spark.operators import text as TX
@@ -627,6 +628,25 @@ def q33_ivf_topk(spark, sf_dir):
     )
 
 
+def q34_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (operators/packing.pack_sequences):
+    token ids = 60-bit md5 word hash mod 50257 (portable), shard by
+    pmod(doc_id, 8), concatenate each shard's docs in doc_id order and
+    cut every 128 tokens — docs straddle window boundaries, zero tokens
+    lost. ONE shuffle end-to-end (the chunk groupBy reuses the offset
+    window's shard partitioning); the DuckDB oracle replays the
+    cumulative-offset window and per-chunk slices exactly."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            TX.words("text"),
+            lambda w: (DS.word_hash60(w) % F.lit(50257)).cast("int"),
+        ).alias("tokens"),
+    )
+    return PK.pack_sequences(toks, max_len=128, n_shards=8)
+
+
 def q26_filter_dsl_list(spark, sf_dir):
     """Q3/Q4 query-layer semantics (SURVEY.md §2.12): modql-style JSON
     filter -> Catalyst predicates + ListOptions pagination with the '!'
@@ -690,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_sessionize": q31_sessionize,
         "q32_lang_id": q32_lang_id,
         "q33_ivf_topk": q33_ivf_topk,
+        "q34_pack_sequences": q34_pack_sequences,
     }
 
 
@@ -1497,5 +1518,42 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q33_ivf_topk"] = _q33_oracle_sql()
 
-    # every queries() entry now has a DuckDB oracle (34/34).
+    # q34: concat-and-chunk packing — cumulative-offset window + slices.
+    # SUM(BIGINT) widens to HUGEINT in DuckDB, hence the CAST on strt.
+    sql["q34_pack_sequences"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                   w -> CAST((('0x' || substr(md5(w), 1, 15))::BIGINT % 50257) AS INT)) AS tk
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, tk,
+                 CAST(len(tk) AS BIGINT) AS ln
+          FROM toks WHERE len(tk) > 0
+        ), off AS (
+          SELECT shard, tk, ln,
+                 CAST(COALESCE(SUM(ln) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+          FROM sh
+        ), spans AS (
+          SELECT shard, tk, strt, strt + ln AS fin,
+                 unnest(range(strt // 128, ((strt + ln - 1) // 128) + 1)) AS chunk
+          FROM off
+        ), pieces AS (
+          SELECT shard, chunk, strt,
+                 list_slice(tk, GREATEST(strt, chunk * 128) - strt + 1,
+                                LEAST(fin, (chunk + 1) * 128) - strt) AS piece
+          FROM spans
+        )
+        SELECT shard, chunk,
+               flatten(list(piece ORDER BY strt)) AS tokens,
+               CAST(len(flatten(list(piece ORDER BY strt))) AS INT) AS n_tokens,
+               CAST(count(*) AS INT) AS n_docs
+        FROM pieces
+        GROUP BY shard, chunk
+    """
+
+    # every queries() entry now has a DuckDB oracle (36/36).
     return {k: v.strip() for k, v in sql.items()}

@@ -1,0 +1,169 @@
+"""Sequence packing: concat-and-chunk tokenized documents into
+fixed-length training windows.
+
+The standard LLM-pretraining data layout packs variable-length token
+sequences into fixed ``max_len`` windows with no padding: concatenate
+the corpus (optionally with a separator token after each document) and
+split every ``max_len`` tokens, letting documents straddle window
+boundaries. This is the GPT-style "concat and chunk" scheme — unlike
+greedy first-fit bin packing it is deterministic, order-defined, and
+loses zero tokens, which also makes it exactly replayable by a SQL
+oracle (cumulative-offset window + per-chunk slices).
+
+Reference parity note: the reference engine (CaoKha/etl-rs) stops at
+normalize/dedup of per-record token arrays — packing is one of the
+training-pipeline additions layered on top (like minhash dedup and ANN),
+built over the same tokenized-document shape its pipeline emits.
+
+Distribution model (the 100 TB story):
+
+- The corpus is split into ``n_shards`` independent packing groups by a
+  deterministic shard key (default ``pmod(doc_id, n_shards)``); each
+  shard concatenates ITS documents in ``id_col`` order. Chunks never
+  cross shards, so packing is embarrassingly parallel across shards and
+  ``n_shards`` is the parallelism knob — size it to a few × cluster
+  cores. Per-shard state is one running offset (a window sum), not the
+  corpus.
+- Exactly ONE shuffle: the offset window repartitions by ``shard``
+  (uniform by construction), and the chunk assembly groups by
+  ``(shard, chunk)`` — ``shard`` is a subset of the grouping keys, so
+  Catalyst reuses the window's hash partitioning with a map-side
+  partial aggregate and NO second exchange (plan-gated in
+  tests/test_packing.py). Reducer state stays bounded regardless of
+  document skew: a chunk holds at most ``max_len`` tokens; a single
+  1M-token document simply spans many chunks.
+- Everything is built-in Catalyst expressions (window sum, transform/
+  slice, explode, array_sort/flatten) — no Python in the hot path.
+- The offset window carries the token payload through the one
+  shuffle. A shuffle-thin variant (window over (shard, id, length)
+  only, then join the payload back by id) trades that for an extra
+  join shuffle — same payload bytes moved, more stages; measured
+  unprofitable on the replay LWW path (BENCH/BASELINE.md), so not
+  offered here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_len: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    sep_token: int | None = None,
+    shard_expr: Column | None = None,
+) -> DataFrame:
+    """Pack ``tokens_col`` arrays into fixed ``max_len`` windows.
+
+    Returns one row per (shard, chunk): ``shard int``, ``chunk bigint``
+    (0-based within shard), ``tokens`` (same element type as the input;
+    exactly ``max_len`` long except the final chunk of each shard),
+    ``n_tokens int``, ``n_docs int`` (documents contributing at least
+    one token to the window).
+
+    Semantics: within a shard, documents are concatenated in ascending
+    ``id_col`` order (with ``sep_token`` appended after each document
+    when given); the stream is cut every ``max_len`` tokens. Documents
+    straddle chunk boundaries — no padding, no token loss: the multiset
+    of output tokens equals the input (plus separators). Empty documents
+    contribute nothing (just a separator, if configured).
+
+    ``shard_expr`` overrides the shard key for non-numeric ids (e.g.
+    ``pmod(xxhash64("doc_id"), n)``); the default ``pmod(id, n_shards)``
+    requires a numeric ``id_col`` and is what the DuckDB oracle
+    replays. Determinism: output is a pure function of the input rows —
+    independent of partitioning, task order, or cluster size.
+    """
+    if max_len <= 0:
+        raise ValueError(f"max_len must be positive, got {max_len}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    L = F.lit(int(max_len)).cast("bigint")
+
+    toks = F.col(tokens_col)
+    if sep_token is not None:
+        sep = F.lit(sep_token).cast(df.schema[tokens_col].dataType.elementType)
+        toks = F.concat(toks, F.array(sep))
+    shard = (
+        shard_expr
+        if shard_expr is not None
+        else F.pmod(F.col(id_col).cast("bigint"), F.lit(n_shards))
+    ).cast("int")
+
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        shard.alias("shard"),
+        toks.alias("_tk"),
+        F.size(toks).cast("bigint").alias("_ln"),
+    ).filter(F.col("_ln") > 0)
+
+    # running offset of each doc inside its shard's concatenated stream
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = staged.withColumn("_start", F.coalesce(F.sum("_ln").over(w), F.lit(0)))
+    off = off.withColumn("_fin", F.col("_start") + F.col("_ln"))
+
+    # chunks this doc spans: floor(start/L) .. floor((fin-1)/L). _ln > 0
+    # guarantees the range is non-empty — F.sequence with hi < lo would
+    # COUNT BACKWARDS, so the filter above is load-bearing.
+    spans = off.select(
+        "shard",
+        "_start",
+        "_fin",
+        "_tk",
+        F.expr(f"sequence(_start div {int(max_len)}, (_fin - 1) div {int(max_len)})").alias(
+            "_chunks"
+        ),
+    )
+
+    # per-(doc, chunk) slice, in LOCAL 1-based positions: the piece's
+    # global range is [max(start, c*L), min(fin, (c+1)*L))
+    def _piece(c: Column) -> Column:
+        g0 = F.greatest(F.col("_start"), c * L)
+        g1 = F.least(F.col("_fin"), (c + F.lit(1).cast("bigint")) * L)
+        return F.struct(
+            c.alias("chunk"),
+            F.slice(
+                F.col("_tk"),
+                (g0 - F.col("_start") + F.lit(1)).cast("int"),
+                (g1 - g0).cast("int"),
+            ).alias("piece"),
+        )
+
+    # explode_outer + null filter, NOT plain explode: explode's implicit
+    # size>0 pushdown re-evaluates the computed array at the scan
+    pieces = (
+        spans.select(
+            "shard",
+            "_start",
+            F.explode_outer(F.transform(F.col("_chunks"), _piece)).alias("_cp"),
+        )
+        .filter(F.col("_cp").isNotNull())
+        .select("shard", "_start", F.col("_cp.chunk").alias("chunk"), F.col("_cp.piece").alias("_piece"))
+    )
+
+    # assemble each window: pieces ordered by their doc's start offset
+    # (unique within a chunk), then flattened
+    asm = (
+        pieces.groupBy("shard", "chunk")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_start", "_piece"))).alias("_sp"),
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+        )
+        .withColumn("tokens", F.flatten(F.col("_sp._piece")))
+    )
+    return asm.select(
+        "shard",
+        "chunk",
+        "tokens",
+        F.size("tokens").alias("n_tokens"),
+        "n_docs",
+    )

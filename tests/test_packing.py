@@ -1,0 +1,165 @@
+"""Sequence packing (operators/packing.py) — concat-and-chunk of
+tokenized docs into fixed max_len training windows.
+
+Exactness bar: bit-equality against a driver-side python oracle over
+randomized corpora (empty docs, straddling docs, separators), plus the
+structural invariants a training pipeline relies on: zero token loss,
+every non-final chunk exactly max_len, chunk ids contiguous per shard,
+and output independent of input partitioning.
+"""
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rs_spark.operators.packing import pack_sequences
+
+
+def _py_pack(docs, L, n_shards, sep=None):
+    """Driver-side oracle: same concat-and-chunk rule, plain python."""
+    out = {}
+    shards: dict[int, list] = {}
+    for i, tk in sorted(docs):
+        t = list(tk) + ([sep] if sep is not None else [])
+        if not t:
+            continue
+        shards.setdefault(i % n_shards, []).append((i, t))
+    for s, dd in shards.items():
+        stream: list[int] = []
+        contrib: dict[int, set] = {}
+        pos = 0
+        for i, t in dd:
+            for j in range(len(t)):
+                contrib.setdefault((pos + j) // L, set()).add(i)
+            stream.extend(t)
+            pos += len(t)
+        for c in range((len(stream) + L - 1) // L):
+            chunk = stream[c * L : (c + 1) * L]
+            out[(s, c)] = (tuple(chunk), len(chunk), len(contrib[c]))
+    return out
+
+
+def _spark_pack(df, L, n_shards, sep=None):
+    got = pack_sequences(df, L, n_shards=n_shards, sep_token=sep)
+    return {
+        (r["shard"], r["chunk"]): (tuple(r["tokens"]), r["n_tokens"], r["n_docs"])
+        for r in got.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    random.seed(11)
+    docs = [
+        (i, [random.randrange(50257) for _ in range(random.choice([0, 0, 1, 2, 5, 17, 40, 300]))])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    return docs, df
+
+
+@pytest.mark.parametrize(
+    "L,ns,sep",
+    [
+        (64, 4, None),
+        (64, 4, 50256),
+        (7, 8, None),  # most docs straddle several windows
+        (10_000, 2, 0),  # corpus smaller than one window per shard
+        (1, 3, None),  # every token its own window
+    ],
+)
+def test_pack_matches_python_oracle_exactly(corpus, L, ns, sep):
+    docs, df = corpus
+    assert _spark_pack(df, L, ns, sep) == _py_pack(docs, L, ns, sep)
+
+
+def test_pack_invariants(corpus):
+    docs, df = corpus
+    L, ns = 32, 4
+    got = pack_sequences(df, L, n_shards=ns).collect()
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    total_in = sum(len(tk) for _i, tk in docs)
+    total_out = sum(r["n_tokens"] for r in got)
+    assert total_out == total_in  # zero loss, zero padding
+    for s, rows in by_shard.items():
+        rows.sort(key=lambda r: r["chunk"])
+        # contiguous 0-based chunk ids per shard
+        assert [r["chunk"] for r in rows] == list(range(len(rows)))
+        # every chunk but the shard's last is exactly full
+        assert all(r["n_tokens"] == L for r in rows[:-1])
+        assert 0 < rows[-1]["n_tokens"] <= L
+        assert all(len(r["tokens"]) == r["n_tokens"] for r in rows)
+        assert all(r["n_docs"] >= 1 for r in rows)
+        # shard stream equality: concatenating the chunks reproduces the
+        # shard's docs concatenated in doc_id order
+        stream = [t for r in rows for t in r["tokens"]]
+        expect = [
+            t for i, tk in sorted(docs) if i % ns == s for t in tk
+        ]
+        assert stream == expect
+
+
+def test_pack_partitioning_invariance(corpus):
+    """Output is a pure function of the rows: repartitioning the input
+    arbitrarily (including a skewed coalesce) changes nothing."""
+    docs, df = corpus
+    base = _spark_pack(df, 48, 4)
+    assert _spark_pack(df.repartition(13), 48, 4) == base
+    assert _spark_pack(df.coalesce(1), 48, 4) == base
+
+
+def test_pack_separator_and_empty_docs(spark):
+    docs = [(0, [1, 2, 3]), (4, []), (8, [9]), (12, [])]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    # without separator: empty docs vanish entirely
+    got = _spark_pack(df, 4, 1)
+    assert got == {(0, 0): ((1, 2, 3, 9), 4, 2)}
+    # with separator: EVERY doc contributes tokens+sep — an empty doc
+    # is a lone separator in the stream (the GPT-style EOS convention)
+    got = _spark_pack(df, 4, 1, sep=99)
+    assert got == {
+        (0, 0): ((1, 2, 3, 99), 4, 1),
+        (0, 1): ((99, 9, 99, 99), 4, 3),
+    }
+
+
+def test_pack_plans_one_shuffle(spark, corpus):
+    """The whole pack is ONE exchange: the window's hash(shard)
+    partitioning satisfies the (shard, chunk) groupBy (subset of the
+    grouping keys), so chunk assembly runs map-side with no second
+    shuffle — the property that makes the operator one-pass at 100 TB."""
+    _docs, df = corpus
+    df = df.repartition(5)  # arbitrary input partitioning
+    plan = pack_sequences(df, 64, n_shards=8)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert exchanges.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pack_rejects_bad_params(spark):
+    df = spark.createDataFrame([(0, [1])], "doc_id long, tokens array<int>")
+    with pytest.raises(ValueError, match="max_len"):
+        pack_sequences(df, 0)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_sequences(df, 8, n_shards=0)
+
+
+def test_pack_custom_shard_expr(spark):
+    """String ids via a caller-supplied shard key: same packing rule,
+    shard from xxhash64 — deterministic but not SQL-portable, which is
+    why the contract query keeps pmod(doc_id, n)."""
+    docs = [(f"d{i:03d}", list(range(i % 5))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id string, tokens array<int>")
+    out = pack_sequences(
+        df, 16, n_shards=4,
+        shard_expr=F.pmod(F.xxhash64("doc_id"), F.lit(4)),
+    )
+    rows = out.collect()
+    assert sum(r["n_tokens"] for r in rows) == sum(len(t) for _, t in docs)
+    assert set(r["shard"] for r in rows) <= {0, 1, 2, 3}
