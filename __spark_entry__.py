@@ -647,6 +647,20 @@ def q34_pack_sequences(spark, sf_dir):
     return PK.pack_sequences(toks, max_len=128, n_shards=8)
 
 
+def q35_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup_scale.decontaminate): docs with
+    doc_id % 97 == 0 play the held-out eval set; every other doc is
+    marked with the count of distinct word-3-gram shingles it shares
+    with ANY probe doc, contaminated at >= 2 overlaps. The probe
+    shingle set is force-broadcast — the training side never shuffles
+    to find hits."""
+    wi = _doc_word_ids(spark, sf_dir)
+    probes = wi.filter(F.col("doc_id") % 97 == 0)
+    train = wi.filter(F.col("doc_id") % 97 != 0)
+    out = DS.decontaminate(train, probes, n=3, min_overlap=2)
+    return out.select("doc_id", "n_hits", "contaminated")
+
+
 def q26_filter_dsl_list(spark, sf_dir):
     """Q3/Q4 query-layer semantics (SURVEY.md §2.12): modql-style JSON
     filter -> Catalyst predicates + ListOptions pagination with the '!'
@@ -711,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_lang_id": q32_lang_id,
         "q33_ivf_topk": q33_ivf_topk,
         "q34_pack_sequences": q34_pack_sequences,
+        "q35_decontaminate": q35_decontaminate,
     }
 
 
@@ -1555,5 +1570,34 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY shard, chunk
     """
 
-    # every queries() entry now has a DuckDB oracle (36/36).
+    # q35: probe-shingle semi-match + per-doc hit counts. Same shingle
+    # polynomial as q21; short docs (< n words) have empty shingle
+    # lists and fall through to n_hits = 0.
+    sql["q35_decontaminate"] = f"""
+        WITH {_WORDS_CTE},
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(wid) - 2, 0) + 1),
+                   i -> ((((wid[i] % {P}) * {NGRAM_B} + wid[i+1]) % {P}) * {NGRAM_B} + wid[i+2]) % {P}
+                 )) AS shing
+          FROM ids
+        ),
+        probe_sh AS (
+          SELECT DISTINCT unnest(shing) AS s FROM sh WHERE doc_id % 97 = 0
+        ),
+        train AS (SELECT doc_id, shing FROM sh WHERE doc_id % 97 <> 0),
+        hits AS (
+          SELECT t.doc_id, count(*) AS nh
+          FROM (SELECT doc_id, unnest(shing) AS s FROM train) t
+          JOIN probe_sh p ON t.s = p.s
+          GROUP BY t.doc_id
+        )
+        SELECT tr.doc_id,
+               CAST(COALESCE(h.nh, 0) AS INT) AS n_hits,
+               COALESCE(h.nh, 0) >= 2 AS contaminated
+        FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+    """
+
+    # every queries() entry now has a DuckDB oracle (37/37).
     return {k: v.strip() for k, v in sql.items()}

@@ -564,3 +564,75 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (training-corpus hygiene)
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    word_ids_col: str = "word_ids",
+    mode: str = "mark",
+    max_probe_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag (or drop) training documents that
+    share word n-grams with an evaluation/benchmark probe set — the
+    GPT-3-style n-gram decontamination pass every serious pretraining
+    pipeline runs before training.
+
+    A doc is contaminated when it contains >= ``min_overlap`` DISTINCT
+    shingles (``ngram_shingles``, order-sensitive n-grams) that appear
+    anywhere in ``probes``. ``mode="mark"`` returns every input doc row
+    plus ``n_hits int`` (distinct probe shingles found in the doc) and
+    ``contaminated boolean``; ``mode="filter"`` returns only the clean
+    docs, columns unchanged.
+
+    The 100 TB plan: the probe shingle set is the distinct union over
+    the EVAL corpus — orders of magnitude smaller than the training
+    corpus — so it is force-broadcast and the training side is never
+    shuffled to find hits (one explode + BroadcastHashJoin at the
+    scan). Matched postings (rare) aggregate per doc, and the hit
+    counts join back as another small broadcast. The training corpus
+    therefore crosses the wire zero times; the only wide exchange is
+    over match rows. ``max_probe_freq`` drops probe shingles that occur
+    in more than that many probe docs first (boilerplate n-grams every
+    doc contains would otherwise mark the whole corpus — recall-one-
+    sided like q21's stop-shingle cap: dropping a probe shingle can
+    only LOWER n_hits).
+    """
+    if mode not in ("mark", "filter"):
+        raise ValueError(f"mode must be 'mark' or 'filter', got {mode!r}")
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+
+    probe_post = probes.select(
+        F.col(id_col),
+        F.explode_outer(ngram_shingles(F.col(word_ids_col), n)).alias("_s"),
+    ).filter(F.col("_s").isNotNull())
+    probe_post = cap_group_size(probe_post, ("_s",), max_probe_freq)
+    probe_sh = probe_post.select("_s").distinct()
+
+    doc_post = docs.select(
+        F.col(id_col),
+        F.explode_outer(ngram_shingles(F.col(word_ids_col), n)).alias("_s"),
+    ).filter(F.col("_s").isNotNull())
+    # shingles are distinct per doc, so the match count IS the number
+    # of distinct probe shingles present
+    hits = (
+        doc_post.join(F.broadcast(probe_sh), "_s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    if mode == "filter":
+        return docs.join(
+            hits.filter(F.col("n_hits") >= min_overlap), id_col, "left_anti"
+        )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") >= min_overlap)
+    )

@@ -158,6 +158,90 @@ def test_ngram_jaccard(with_ids):
     assert got[("d1", "d2")] == pytest.approx(6 / 8)
 
 
+def test_decontaminate_marks_and_filters(spark):
+    """Benchmark decontamination: shared 3-gram shingles against a
+    probe set mark a doc; min_overlap thresholds; filter mode drops
+    exactly the marked docs; short docs (< n words) are always clean."""
+    train = spark.createDataFrame(
+        [
+            ("t1", [1, 2, 3, 4, 5]),      # contains probe shingle (2,3,4), (3,4,5)
+            ("t2", [9, 9, 9, 1, 2]),      # no probe 3-gram
+            ("t3", [2, 3, 4, 99, 98]),    # one probe shingle (2,3,4)
+            ("t4", [7, 8]),               # too short for any shingle
+        ],
+        "doc_id string, word_ids array<bigint>",
+    )
+    probes = spark.createDataFrame(
+        [("p1", [2, 3, 4, 5]), ("p2", [50, 51, 52])],
+        "doc_id string, word_ids array<bigint>",
+    )
+    marked = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in ds.decontaminate(train, probes, n=3, min_overlap=1).collect()
+    }
+    assert marked == {
+        "t1": (2, True), "t2": (0, False), "t3": (1, True), "t4": (0, False),
+    }
+    # threshold: with min_overlap=2 only t1 is contaminated
+    marked2 = {
+        r["doc_id"]: r["contaminated"]
+        for r in ds.decontaminate(train, probes, n=3, min_overlap=2).collect()
+    }
+    assert marked2 == {"t1": True, "t2": False, "t3": False, "t4": False}
+    clean = {
+        r["doc_id"]
+        for r in ds.decontaminate(train, probes, n=3, min_overlap=1, mode="filter").collect()
+    }
+    assert clean == {"t2", "t4"}
+    with pytest.raises(ValueError, match="mode"):
+        ds.decontaminate(train, probes, mode="drop")
+    with pytest.raises(ValueError, match="min_overlap"):
+        ds.decontaminate(train, probes, min_overlap=0)
+
+
+def test_decontaminate_probe_freq_cap_is_one_sided(spark):
+    """max_probe_freq drops boilerplate probe shingles BEFORE matching:
+    n_hits can only shrink, never grow — a shingle in > cap probe docs
+    stops marking anyone."""
+    train = spark.createDataFrame(
+        [("t1", [1, 2, 3]), ("t2", [1, 2, 3, 4])],
+        "doc_id string, word_ids array<bigint>",
+    )
+    # shingle (1,2,3) occurs in all three probes; (2,3,4) in one
+    probes = spark.createDataFrame(
+        [("p1", [1, 2, 3]), ("p2", [1, 2, 3]), ("p3", [1, 2, 3, 4])],
+        "doc_id string, word_ids array<bigint>",
+    )
+    uncapped = {
+        r["doc_id"]: r["n_hits"]
+        for r in ds.decontaminate(train, probes, n=3).collect()
+    }
+    assert uncapped == {"t1": 1, "t2": 2}
+    capped = {
+        r["doc_id"]: r["n_hits"]
+        for r in ds.decontaminate(train, probes, n=3, max_probe_freq=2).collect()
+    }
+    assert capped == {"t1": 0, "t2": 1}  # boilerplate shingle gone
+    assert all(capped[k] <= uncapped[k] for k in uncapped)
+
+
+def test_decontaminate_plans_broadcast_probe_join(spark):
+    """The probe shingle set must reach the training scan as a
+    broadcast — the training corpus is never shuffled to find hits."""
+    train = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.col("id"), F.col("id") + 1, F.col("id") + 2, F.col("id") + 3).alias("word_ids"),
+    )
+    probes = train.filter(F.col("doc_id") % 50 == 0)
+    plan = (
+        ds.decontaminate(train, probes, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the probe-shingle join is hint-forced broadcast; the small
+    # join-back of hit counts is AQE's call and not asserted here
+    assert "BroadcastHashJoin" in plan
+
+
 # -- similarity ------------------------------------------------------------
 
 VECS = [
