@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from etl_rs_spark.functions import transforms as T
 from etl_rs_spark.operators import dedup_scale as DS
+from etl_rs_spark.operators import mixing as MIX
 from etl_rs_spark.operators import multimodal as MM
 from etl_rs_spark.operators import packing as PK
 from etl_rs_spark.operators import sessions as SESS
@@ -661,6 +662,25 @@ def q35_decontaminate(spark, sf_dir):
     return out.select("doc_id", "n_hits", "contaminated")
 
 
+#: q36 mix recipe: integer replication, pure downsample, mixed, drop —
+#: all four weight regimes. Thresholds are exact integer constants
+#: shared verbatim by the Spark plan and the DuckDB oracle.
+Q36_WEIGHTS = {"src0": 2.0, "src1": 0.5, "src5": 1.25}
+Q36_SEED = 17
+
+
+def q36_mix_sample(spark, sf_dir):
+    """Data mixing (mixing.mix_sample): source-weighted deterministic
+    up/down-sampling — src0 x2 (pure replication), src1 x0.5 (hash
+    downsample), src5 x1.25 (copy + fractional draw), everything else
+    dropped. Zero shuffles; each (doc, replica) fate is a pure function
+    of md5(id:replica:seed) against an integer threshold, replayed
+    bit-for-bit by the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    out = MIX.mix_sample(d, Q36_WEIGHTS, seed=Q36_SEED)
+    return out.select("doc_id", "source", "replica")
+
+
 def q26_filter_dsl_list(spark, sf_dir):
     """Q3/Q4 query-layer semantics (SURVEY.md §2.12): modql-style JSON
     filter -> Catalyst predicates + ListOptions pagination with the '!'
@@ -726,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_ivf_topk": q33_ivf_topk,
         "q34_pack_sequences": q34_pack_sequences,
         "q35_decontaminate": q35_decontaminate,
+        "q36_mix_sample": q36_mix_sample,
     }
 
 
@@ -1599,5 +1620,32 @@ def oracle_sql() -> dict[str, str]:
         FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
     """
 
-    # every queries() entry now has a DuckDB oracle (37/37).
+    # q36: replicate-or-hash-sample per source. The integer thresholds
+    # floor(frac * 2^60) are computed ONCE here and shared with the
+    # Spark plan via Q36_WEIGHTS — no float crosses engines.
+    import math as _math
+
+    _rows = []
+    for _s, _w in Q36_WEIGHTS.items():
+        _k = int(_math.floor(_w))
+        _rows.append(f"('{_s}', {_k}, {int((_w - _k) * (1 << 60))})")
+    sql["q36_mix_sample"] = f"""
+        WITH w(src, k, thr) AS (VALUES {", ".join(_rows)}),
+        d AS (
+          SELECT doc_id, source, COALESCE(k, 0) AS k, COALESCE(thr, 0) AS thr
+          FROM documents LEFT JOIN w ON source = src
+        ),
+        cand AS (
+          SELECT doc_id, source, k, thr,
+                 unnest(range(0, k + CASE WHEN thr > 0 THEN 1 ELSE 0 END)) AS replica
+          FROM d
+        )
+        SELECT doc_id, source, CAST(replica AS INT) AS replica
+        FROM cand
+        WHERE replica < k
+           OR ('0x' || substr(md5(doc_id::VARCHAR || ':' || replica::VARCHAR
+                                  || ':{Q36_SEED}'), 1, 15))::BIGINT < thr
+    """
+
+    # every queries() entry now has a DuckDB oracle (38/38).
     return {k: v.strip() for k, v in sql.items()}

@@ -1,0 +1,119 @@
+"""Data mixing: deterministic source-weighted up/down-sampling.
+
+Pretraining mixes re-weight heterogeneous sources before packing —
+"wikipedia x 3.0, common-crawl x 0.3" — by REPLICATING high-value
+sources an integer number of times and keeping a deterministic hash
+fraction for the fractional remainder (downsampling is the pure-
+fractional case). This is the epochs-per-source knob of every published
+LLM data recipe, applied as a dataflow operator instead of a loader
+trick.
+
+Reference parity note: the reference engine (CaoKha/etl-rs) ends at
+normalized per-record tables; mixing is a training-pipeline addition
+over the same (doc_id, tokens, source) shape, like packing and
+decontamination.
+
+Determinism and portability: a row's fate is a pure function of
+(id, replica, seed) — the 60-bit md5 hash (dedup_scale.word_hash60's
+formula over a "id:replica:seed" key) compared against the INTEGER
+threshold floor(frac * 2^60). No floats cross engines, no RNG state:
+the same call yields the same sample on any cluster size or
+partitioning, and a DuckDB oracle replays it bit-for-bit.
+
+The 100 TB story: ZERO shuffles — a broadcast-free narrow projection
+(the weight table folds into the plan as a literal map), one
+``transform``/``explode`` per row bounded by ceil(weight), and the
+hash filter runs at the scan. Catalyst pushes column pruning through,
+and downstream consumers (pack_sequences) see `replica` as part of the
+identity so replicated docs land in distinct stream positions.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: hash domain: word_hash60 yields ids in [0, 2^60)
+_HASH_DOMAIN = 1 << 60
+
+
+def _hash60_str(col):
+    """First 15 hex chars of md5 as bigint — the engine-portable
+    formula shared with dedup_scale.word_hash60, applied to an
+    arbitrary string key."""
+    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 17,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Sample/replicate rows per source to hit the mix ``weights``.
+
+    A source with weight ``w = k + f`` (integer ``k >= 0``, fraction
+    ``0 <= f < 1``) emits ``k`` guaranteed copies of every row plus one
+    more with probability ``f`` — so its expected token share scales by
+    exactly ``w``. ``w <= 1`` is plain downsampling; ``w = 0`` (and, by
+    default, any source missing from ``weights``) drops the source.
+
+    Output = input columns + ``replica int`` (0-based copy index):
+    downstream identity is (id, replica), so packing or shuffling
+    replicated docs treats each copy as a distinct document.
+
+    The fractional keep decision for (row, replica r) is
+    ``md5_60bit(f"{id}:{r}:{seed}") < floor(f * 2^60)`` — deterministic,
+    independent per replica, engine-portable (integer threshold; no
+    float comparisons). Changing ``seed`` redraws every fractional
+    decision; integer copies are unaffected.
+    """
+    for s, w in weights.items():
+        if w < 0 or not math.isfinite(w):
+            raise ValueError(f"weight for {s!r} must be finite and >= 0, got {w}")
+    if default_weight < 0 or not math.isfinite(default_weight):
+        raise ValueError(f"default_weight must be finite and >= 0")
+
+    def _split(w: float) -> tuple[int, int]:
+        k = int(math.floor(w))
+        thr = int((w - k) * _HASH_DOMAIN)  # exact integer threshold
+        return k, thr
+
+    cases = {s: _split(w) for s, w in weights.items()}
+    dk, dthr = _split(default_weight)
+
+    n_full = F.lit(dk)
+    thr = F.lit(dthr)
+    for s, (k, t) in cases.items():
+        cond = F.col(source_col) == F.lit(s)
+        n_full = F.when(cond, F.lit(k)).otherwise(n_full)
+        thr = F.when(cond, F.lit(t)).otherwise(thr)
+
+    # candidate replicas 0 .. n_full (the last one is the fractional
+    # draw, generated only when a fraction exists). sequence(0, -1)
+    # would count BACKWARDS, hence the explicit empty-array guard.
+    n_cand = n_full + F.when(thr > 0, F.lit(1)).otherwise(F.lit(0))
+    cands = F.when(
+        n_cand > 0, F.sequence(F.lit(0), n_cand - 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+    key = F.concat_ws(
+        ":", F.col(id_col).cast("string"), F.col("_replica").cast("string"),
+        F.lit(str(seed)),
+    )
+    out = (
+        df.withColumn("_nf", n_full)
+        .withColumn("_thr", thr)
+        .withColumn("_replica", F.explode_outer(cands))
+        .filter(F.col("_replica").isNotNull())
+        .filter((F.col("_replica") < F.col("_nf")) | (_hash60_str(key) < F.col("_thr")))
+        .withColumn("replica", F.col("_replica").cast("int"))
+        .drop("_nf", "_thr", "_replica")
+    )
+    return out
