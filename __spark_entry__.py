@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 
 from etl_rs_spark.functions import transforms as T
 from etl_rs_spark.operators import dedup_scale as DS
+from etl_rs_spark.operators import graph as GR
 from etl_rs_spark.operators import mixing as MIX
 from etl_rs_spark.operators import multimodal as MM
 from etl_rs_spark.operators import packing as PK
@@ -681,6 +682,24 @@ def q36_mix_sample(spark, sf_dir):
     return out.select("doc_id", "source", "replica")
 
 
+def q37_dedup_components(spark, sf_dir):
+    """Near-dup GROUP resolution (operators/graph.py): banded-minhash
+    verified pairs at jaccard >= 0.9 are the duplicate-of edges;
+    iterative min-label propagation with path halving labels every
+    paired doc with its cluster's smallest id, exactly one survivor per
+    cluster. Converged components are algorithm-independent, so the
+    DuckDB oracle checks them via recursive reachability."""
+    wi = _doc_word_ids(spark, sf_dir)
+    pairs = DS.minhash_lsh_pairs(
+        wi, n_hashes=16, bands=4, jaccard_threshold=0.9,
+        max_bucket_size=Q19_MAX_BUCKET,
+    )
+    out = GR.dedup_survivors(pairs)
+    return out.select(
+        F.col("node").alias("doc_id"), "component", "is_survivor"
+    )
+
+
 def q26_filter_dsl_list(spark, sf_dir):
     """Q3/Q4 query-layer semantics (SURVEY.md §2.12): modql-style JSON
     filter -> Catalyst predicates + ListOptions pagination with the '!'
@@ -747,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_pack_sequences": q34_pack_sequences,
         "q35_decontaminate": q35_decontaminate,
         "q36_mix_sample": q36_mix_sample,
+        "q37_dedup_components": q37_dedup_components,
     }
 
 
@@ -1165,7 +1185,11 @@ def oracle_sql() -> dict[str, str]:
         for j in range(4):
             k = f"(({k}) * {KEY_B} + m{bi * 4 + j}) % {P}"
         band_structs.append(f"{{'band': {bi}, 'key': {k}}}")
-    sql["q19_minhash_lsh_pairs"] = f"""
+
+    def _q19_sql(threshold: float) -> str:
+        """Banded-minhash verified pairs at a given jaccard threshold —
+        the q19 oracle body, also embedded by q37 as its edge set."""
+        return f"""
         WITH {_WORDS_CTE},
         sigs AS (
           SELECT doc_id, {", ".join(_minhash_sql_terms(16))}
@@ -1190,8 +1214,10 @@ def oracle_sql() -> dict[str, str]:
         JOIN wsets wl ON wl.doc_id = c.id_l
         JOIN wsets wr ON wr.doc_id = c.id_r
         WHERE round(CAST(len(list_intersect(wl.wset, wr.wset)) AS DOUBLE)
-              / len(list_distinct(list_concat(wl.wset, wr.wset))), 6) >= 0.6
+              / len(list_distinct(list_concat(wl.wset, wr.wset))), 6) >= {threshold}
     """
+
+    sql["q19_minhash_lsh_pairs"] = _q19_sql(0.6)
 
     sql["q20_simhash"] = f"""
         WITH {_WORDS_CTE}
@@ -1647,5 +1673,27 @@ def oracle_sql() -> dict[str, str]:
                                   || ':{Q36_SEED}'), 1, 15))::BIGINT < thr
     """
 
-    # every queries() entry now has a DuckDB oracle (38/38).
+    # q37: converged connected components are a pure function of the
+    # edge set, so the iterative Spark propagation and this recursive
+    # reachability (component = MIN over reachable nodes) must agree
+    # exactly. The edge set is the q19 pipeline at threshold 0.9.
+    sql["q37_dedup_components"] = f"""
+        WITH RECURSIVE pairs AS ({_q19_sql(0.9)}),
+        und AS (
+          SELECT id_l AS u, id_r AS v FROM pairs
+          UNION ALL
+          SELECT id_r, id_l FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM und),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT reach.node, und.v FROM reach JOIN und ON und.u = reach.r
+        )
+        SELECT node AS doc_id, MIN(r) AS component,
+               node = MIN(r) AS is_survivor
+        FROM reach GROUP BY node
+    """
+
+    # every queries() entry now has a DuckDB oracle (39/39).
     return {k: v.strip() for k, v in sql.items()}
