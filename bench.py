@@ -63,11 +63,15 @@ BENCH_QUERIES = [
     "q27_embedding_near_dups", "q28_normalize_tokens",
     "q29_transform_email", "q30_jdd_normalize",
     "q31_sessionize", "q32_lang_id", "q33_ivf_topk",
+    "q34_pack_sequences", "q35_decontaminate", "q36_mix_sample",
 ]
 
 #: queries benched at sf0.01 instead of the main sf (reason above;
-#: q20b's tiny-vocab fingerprint clustering is quadratic the same way)
-SMALL_SF_QUERIES = ["q19_minhash_lsh_pairs", "q20b_simhash_pairs"]
+#: q20b's tiny-vocab fingerprint clustering is quadratic the same way;
+#: q37's minhash edge set inherits q19's tiny-vocab density)
+SMALL_SF_QUERIES = [
+    "q19_minhash_lsh_pairs", "q20b_simhash_pairs", "q37_dedup_components",
+]
 SMALL_SF_DIR = "/root/testdata/sf0.01"
 
 # 8M events: at the round-2 merge rate (~0.5-1.1M ev/s) a 2M replay
