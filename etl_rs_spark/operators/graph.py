@@ -43,8 +43,11 @@ def connected_components(
     """Label every node of the undirected pair graph with its
     component representative (the component's smallest node id).
 
-    Returns (``node``, ``component``) for every node that appears in
-    ``edges``. Raises if ``max_iter`` rounds do not converge (a
+    Returns (``node``, ``component``) for every node with at least one
+    edge to a DIFFERENT node. Self-loops are discarded before the node
+    set is derived — a doc paired only with itself carries no duplicate
+    evidence and is absent from the output, exactly like a doc in no
+    pair at all. Raises if ``max_iter`` rounds do not converge (a
     pathological chain longer than 2^max_iter nodes — not a dedup
     graph).
     """

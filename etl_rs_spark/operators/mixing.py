@@ -24,8 +24,8 @@ The 100 TB story: ZERO shuffles — a broadcast-free narrow projection
 (the weight table folds into the plan as a literal map), one
 ``transform``/``explode`` per row bounded by ceil(weight), and the
 hash filter runs at the scan. Catalyst pushes column pruning through,
-and downstream consumers (pack_sequences) see `replica` as part of the
-identity so replicated docs land in distinct stream positions.
+and downstream consumers pack replicated docs as distinct documents via
+``pack_sequences(..., id_col=("doc_id", "replica"))``.
 """
 
 from __future__ import annotations
@@ -35,17 +35,15 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_rs_spark.operators.dedup_scale import word_hash60
+
 #: hash domain: word_hash60 yields ids in [0, 2^60)
 _HASH_DOMAIN = 1 << 60
 
-
-def _hash60_str(col):
-    """First 15 hex chars of md5 as bigint — the engine-portable
-    formula shared with dedup_scale.word_hash60, applied to an
-    arbitrary string key."""
-    return F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
+#: weights above this are certainly a bug (a per-row explode of this
+#: many replicas), and Spark's sequence() hard-fails near 2^31 anyway —
+#: reject eagerly with a readable error instead of an executor OOM
+_MAX_WEIGHT = 1_000_000
 
 
 def mix_sample(
@@ -75,10 +73,14 @@ def mix_sample(
     decision; integer copies are unaffected.
     """
     for s, w in weights.items():
-        if w < 0 or not math.isfinite(w):
-            raise ValueError(f"weight for {s!r} must be finite and >= 0, got {w}")
-    if default_weight < 0 or not math.isfinite(default_weight):
-        raise ValueError(f"default_weight must be finite and >= 0")
+        if w < 0 or not math.isfinite(w) or w > _MAX_WEIGHT:
+            raise ValueError(
+                f"weight for {s!r} must be finite in [0, {_MAX_WEIGHT}], got {w}"
+            )
+    if not 0 <= default_weight <= _MAX_WEIGHT or not math.isfinite(default_weight):
+        raise ValueError(
+            f"default_weight must be finite in [0, {_MAX_WEIGHT}], got {default_weight}"
+        )
 
     def _split(w: float) -> tuple[int, int]:
         k = int(math.floor(w))
@@ -103,16 +105,22 @@ def mix_sample(
         n_cand > 0, F.sequence(F.lit(0), n_cand - 1)
     ).otherwise(F.array().cast("array<int>"))
 
-    key = F.concat_ws(
-        ":", F.col(id_col).cast("string"), F.col("_replica").cast("string"),
-        F.lit(str(seed)),
+    # F.concat, NOT concat_ws: concat_ws SKIPS null inputs, so a NULL id
+    # would silently hash as just "replica:seed" (one shared draw for
+    # every NULL-id row) while the SQL oracle's || yields NULL and drops
+    # the row. concat propagates NULL -> hash NULL -> comparison NULL ->
+    # fractional draw filtered out, matching the oracle: NULL-id rows
+    # keep their integer copies and never win a fractional draw.
+    key = F.concat(
+        F.col(id_col).cast("string"), F.lit(":"),
+        F.col("_replica").cast("string"), F.lit(":"), F.lit(str(seed)),
     )
     out = (
         df.withColumn("_nf", n_full)
         .withColumn("_thr", thr)
         .withColumn("_replica", F.explode_outer(cands))
         .filter(F.col("_replica").isNotNull())
-        .filter((F.col("_replica") < F.col("_nf")) | (_hash60_str(key) < F.col("_thr")))
+        .filter((F.col("_replica") < F.col("_nf")) | (word_hash60(key) < F.col("_thr")))
         .withColumn("replica", F.col("_replica").cast("int"))
         .drop("_nf", "_thr", "_replica")
     )

@@ -53,7 +53,7 @@ def pack_sequences(
     df: DataFrame,
     max_len: int,
     tokens_col: str = "tokens",
-    id_col: str = "doc_id",
+    id_col: str | tuple[str, ...] = "doc_id",
     n_shards: int = 32,
     sep_token: int | None = None,
     shard_expr: Column | None = None,
@@ -73,30 +73,47 @@ def pack_sequences(
     of output tokens equals the input (plus separators). Empty documents
     contribute nothing (just a separator, if configured).
 
+    ``id_col`` may be a TUPLE of columns for composite identities —
+    mixing.mix_sample's replicated docs pack as
+    ``id_col=("doc_id", "replica")`` so copies are distinct documents
+    without any lossy hand-encoding. The identity must be UNIQUE per
+    row: the concatenation order (and therefore every chunk) is defined
+    by it, so duplicate ids would make output depend on tie-breaking.
+
     ``shard_expr`` overrides the shard key for non-numeric ids (e.g.
     ``pmod(xxhash64("doc_id"), n)``); the default ``pmod(id, n_shards)``
-    requires a numeric ``id_col`` and is what the DuckDB oracle
-    replays. Determinism: output is a pure function of the input rows —
+    over the FIRST id column requires it to be numeric (validated — a
+    silent cast would turn string ids into one NULL shard and a
+    single-partition sort) and is what the DuckDB oracle replays.
+    Determinism: output is a pure function of the input rows —
     independent of partitioning, task order, or cluster size.
     """
     if max_len <= 0:
         raise ValueError(f"max_len must be positive, got {max_len}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     L = F.lit(int(max_len)).cast("bigint")
 
     toks = F.col(tokens_col)
     if sep_token is not None:
         sep = F.lit(sep_token).cast(df.schema[tokens_col].dataType.elementType)
         toks = F.concat(toks, F.array(sep))
-    shard = (
-        shard_expr
-        if shard_expr is not None
-        else F.pmod(F.col(id_col).cast("bigint"), F.lit(n_shards))
-    ).cast("int")
+    if shard_expr is None:
+        from pyspark.sql.types import NumericType
+
+        if not isinstance(df.schema[ids[0]].dataType, NumericType):
+            raise ValueError(
+                f"default shard key pmod({ids[0]}, n) needs a numeric id "
+                f"column, got {df.schema[ids[0]].dataType.simpleString()} — "
+                f"pass shard_expr (e.g. pmod(xxhash64(id), n)) for "
+                f"string ids"
+            )
+        shard_expr = F.pmod(F.col(ids[0]).cast("bigint"), F.lit(n_shards))
+    shard = shard_expr.cast("int")
 
     staged = df.select(
-        F.col(id_col).alias("_id"),
+        *ids,
         shard.alias("shard"),
         toks.alias("_tk"),
         F.size(toks).cast("bigint").alias("_ln"),
@@ -105,7 +122,7 @@ def pack_sequences(
     # running offset of each doc inside its shard's concatenated stream
     w = (
         Window.partitionBy("shard")
-        .orderBy("_id")
+        .orderBy(*ids)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = staged.withColumn("_start", F.coalesce(F.sum("_ln").over(w), F.lit(0)))

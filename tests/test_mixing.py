@@ -92,6 +92,26 @@ def test_mix_rejects_bad_weights(corpus):
         mix_sample(df, {"a": float("inf")})
     with pytest.raises(ValueError, match="default_weight"):
         mix_sample(df, {"a": 1.0}, default_weight=-1)
+    # absurd replication factors fail eagerly, not as an executor OOM
+    with pytest.raises(ValueError, match="weight"):
+        mix_sample(df, {"a": 1e12})
+
+
+def test_mix_null_id_matches_sql_null_semantics(spark):
+    """A NULL id must behave like the SQL oracle's `||` concatenation:
+    integer copies survive (replica < k needs no hash), fractional
+    draws never win (NULL comparison). concat_ws would instead skip the
+    NULL and give every NULL-id row one shared real draw."""
+    df = spark.createDataFrame(
+        [(None, "a"), (7, "a")], "doc_id long, source string"
+    )
+    got = {
+        (r["doc_id"], r["replica"])
+        for r in mix_sample(df, {"a": 2.9}).collect()
+    }
+    # both rows keep replicas 0,1; only the non-null id may win replica 2
+    assert {(None, 0), (None, 1), (7, 0), (7, 1)} <= got
+    assert (None, 2) not in got
 
 
 def test_mix_plans_zero_exchanges(corpus):

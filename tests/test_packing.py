@@ -148,6 +148,32 @@ def test_pack_rejects_bad_params(spark):
         pack_sequences(df, 0)
     with pytest.raises(ValueError, match="n_shards"):
         pack_sequences(df, 8, n_shards=0)
+    # string ids without shard_expr: a silent cast would put everything
+    # in one NULL shard — must be a loud error instead
+    sdf = spark.createDataFrame([("d1", [1])], "doc_id string, tokens array<int>")
+    with pytest.raises(ValueError, match="numeric id"):
+        pack_sequences(sdf, 8)
+
+
+def test_pack_composite_identity(spark):
+    """mix_sample replicas pack as distinct docs via a composite id:
+    order is lexicographic on (doc_id, replica), shard from the first
+    id column — no lossy doc_id*K+replica encoding."""
+    rows = [
+        (2, 0, [20, 21]), (2, 1, [20, 21]),  # two replicas of doc 2
+        (1, 0, [10]), (3, 0, [30, 31, 32]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, replica int, tokens array<int>")
+    got = {
+        (r["shard"], r["chunk"]): (tuple(r["tokens"]), r["n_docs"])
+        for r in pack_sequences(df, 4, id_col=("doc_id", "replica"), n_shards=2).collect()
+    }
+    # shard 0: doc 2 replicas in replica order -> [20,21,20,21]
+    # shard 1: docs 1 then 3 -> [10,30,31,32]
+    assert got == {
+        (0, 0): ((20, 21, 20, 21), 2),
+        (1, 0): ((10, 30, 31, 32), 2),
+    }
 
 
 def test_pack_custom_shard_expr(spark):

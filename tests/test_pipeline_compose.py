@@ -125,14 +125,15 @@ def _py_pipeline():
         thr = int((w - k) * (1 << 60))
         for r in range(k + (1 if thr > 0 else 0)):
             if r < k or _w60(f"{i}:{r}:{SEED}") < thr:
-                mixed.append((i * 10 + r, t))
+                mixed.append((i, r, t))
 
-    # 5. pack (tokens = word hash mod 50257, shard = id % 2)
+    # 5. pack (tokens = word hash mod 50257; composite identity
+    # (doc_id, replica) ordered lexicographically, shard = doc_id % 2)
     shards = {}
-    for mid, t in sorted(mixed):
+    for i, r, t in sorted(mixed):
         toks = [_w60(w) % 50257 for w in _words(t)]
         if toks:
-            shards.setdefault(mid % 2, []).append((mid, toks))
+            shards.setdefault(i % 2, []).append(((i, r), toks))
     out = {}
     for s, dd in shards.items():
         stream = [tok for _mid, toks in dd for tok in toks]
@@ -162,15 +163,15 @@ def test_full_training_pipeline_composes(spark):
     probe_ids = ds.doc_word_ids_hashed(probes)
     stage3 = ds.decontaminate(wi2, probe_ids, n=3, min_overlap=1, mode="filter")
 
-    # 4. mix by source, 5. pack
-    mixed = mix_sample(stage3, WEIGHTS, seed=SEED).withColumn(
-        "mix_id", F.col("doc_id") * 10 + F.col("replica")
-    )
+    # 4. mix by source, 5. pack — replicated docs are distinct packing
+    # identities via the composite id (no lossy doc_id*K+replica encode)
+    mixed = mix_sample(stage3, WEIGHTS, seed=SEED)
     toks = mixed.select(
-        "mix_id",
+        "doc_id",
+        "replica",
         F.transform(F.col("word_ids"), lambda w: (w % F.lit(50257)).cast("int")).alias("tokens"),
     )
-    packed = pack_sequences(toks, MAX_LEN, id_col="mix_id", n_shards=2)
+    packed = pack_sequences(toks, MAX_LEN, id_col=("doc_id", "replica"), n_shards=2)
     got = {
         (r["shard"], r["chunk"]): tuple(r["tokens"]) for r in packed.collect()
     }
