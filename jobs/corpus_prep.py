@@ -1,0 +1,197 @@
+"""spark-submit entry point: training-corpus preparation pipeline.
+
+Runs the full pretraining-data flow over a documents table:
+
+    exact dedup -> near-dup groups (minhash LSH -> connected
+    components, one survivor per cluster) -> benchmark decontamination
+    -> source-weighted mixing -> fixed-length sequence packing
+    -> parquet shards
+
+Usage (same launch mode as jobs/replay.py):
+
+    python tools/build_pyfiles.py     # -> dist/etl_rs_spark.zip
+    spark-submit --py-files dist/etl_rs_spark.zip jobs/corpus_prep.py \
+        --docs /root/testdata/sf0.1/documents.parquet \
+        --out /tmp/packed --max-len 2048 --shards 64 \
+        --weight src0=2.0 --weight src1=0.5
+
+In-sandbox the same file runs as plain ``python jobs/corpus_prep.py``
+(the session factory ships the package itself). Emits ONE JSON line
+with per-stage row counts, drop attribution (exact dups / near dups /
+contaminated), packed chunk stats, and wall time per stage — the
+numbers a data engineer checks before pointing a trainer at the
+output.
+
+Every stage is the library operator the contract queries exercise
+(q17 exact dedup; q21's n-gram similarity join feeding q37's connected
+components — shingle jaccard is the order-sensitive near-dup policy, a
+deliberate choice over q19's word-set minhash; q35 decontamination;
+q36 mixing; q34 packing), so the scale properties documented there —
+digest-only exact-dedup shuffle, inverted-index similarity join with
+the stop-shingle cap, broadcast probe shingles, zero-shuffle mixing,
+one-shuffle packing — carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_rs_spark.operators import dedup_scale as DS
+from etl_rs_spark.operators.graph import dedup_survivors
+from etl_rs_spark.operators.mixing import mix_sample
+from etl_rs_spark.operators.packing import pack_sequences
+from etl_rs_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--probes", default=None,
+                    help="eval-set parquet for decontamination (same schema); "
+                         "omit to skip the stage")
+    ap.add_argument("--out", required=True, help="output dir for packed parquet")
+    ap.add_argument("--max-len", type=int, default=2048)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--sep-token", type=int, default=None)
+    ap.add_argument("--vocab", type=int, default=50257)
+    ap.add_argument("--jaccard", type=float, default=0.8,
+                    help="near-dup threshold; <=0 skips the stage")
+    ap.add_argument("--decon-ngram", type=int, default=3)
+    ap.add_argument("--decon-overlap", type=int, default=1)
+    ap.add_argument("--weight", action="append", default=[], metavar="SRC=W",
+                    help="mix weight per source (repeatable); omit all to skip mixing")
+    ap.add_argument("--default-weight", type=float, default=1.0,
+                    help="weight for sources not named by --weight")
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--no-stage-counts", action="store_true",
+        help="skip per-stage row counts (each one recomputes the "
+             "pipeline prefix — fine diagnostically, wasteful at scale)",
+    )
+    args = ap.parse_args()
+
+    weights = {}
+    for kv in args.weight:
+        if "=" not in kv:
+            ap.error(f"--weight {kv!r} is not of the form source=weight")
+        s, w = kv.split("=", 1)
+        weights[s] = float(w)
+
+    spark = get_spark(
+        app_name="corpus-prep",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    metrics: dict = {"metric": "corpus_prep", "stages": {}}
+    t0 = time.perf_counter()
+
+    def stage(name: str, df, since: float) -> int:
+        if args.no_stage_counts:
+            return -1
+        n = df.count()
+        metrics["stages"][name] = {
+            "rows": n, "sec": round(time.perf_counter() - since, 2),
+        }
+        return n
+
+    docs = spark.read.parquet(args.docs)
+    n_in = stage("input", docs, t0)
+
+    # 1. exact dedup: digest-keyed survivors, content never shuffled
+    t = time.perf_counter()
+    survivors = DS.dedup_digest_stats(docs, ["text"]).select("doc_id")
+    docs = docs.join(survivors, "doc_id", "left_semi")
+    n_exact = stage("exact_dedup", docs, t)
+
+    # 2. near-dup groups -> keep one survivor per cluster
+    if args.jaccard > 0:
+        t = time.perf_counter()
+        wi = DS.doc_word_ids_hashed(docs, extra_cols=("lang",))
+        edges = DS.ngram_jaccard_pairs(
+            wi, blocking_col="lang", n=3, threshold=args.jaccard,
+            max_doc_freq=max(64, abs(n_exact) // 100),
+        )
+        drops = dedup_survivors(edges).filter(~F.col("is_survivor")).select(
+            F.col("node").alias("doc_id")
+        )
+        docs = docs.join(drops, "doc_id", "left_anti")
+        stage("near_dedup", docs, t)
+
+    # 3. decontamination against the probe corpus
+    wi = DS.doc_word_ids_hashed(docs, extra_cols=("source",))
+    if args.probes:
+        t = time.perf_counter()
+        probe_ids = DS.doc_word_ids_hashed(spark.read.parquet(args.probes))
+        wi = DS.decontaminate(
+            wi, probe_ids, n=args.decon_ngram,
+            min_overlap=args.decon_overlap, mode="filter",
+        )
+        stage("decontaminate", wi, t)
+
+    # 4. mixing (skipped when no weights given)
+    t = time.perf_counter()
+    if weights:
+        mixed = mix_sample(wi, weights, default_weight=args.default_weight)
+    else:
+        mixed = wi.withColumn("replica", F.lit(0))
+    stage("mix", mixed, t)
+
+    # 5. pack and write
+    t = time.perf_counter()
+    toks = mixed.select(
+        "doc_id", "replica",
+        F.transform(
+            F.col("word_ids"), lambda w: (w % F.lit(args.vocab)).cast("int")
+        ).alias("tokens"),
+    )
+    packed = pack_sequences(
+        toks, args.max_len, id_col=("doc_id", "replica"),
+        n_shards=args.shards, sep_token=args.sep_token,
+    )
+    # stats ride the write via observe — one pass, and an EMPTY result
+    # (e.g. an over-aggressive probe set dropped everything) still
+    # reports 0 chunks instead of crashing on an unreadable empty dir
+    from pyspark.sql import Observation
+
+    obs = Observation("packed")
+    packed = packed.observe(
+        obs,
+        F.count(F.lit(1)).alias("chunks"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
+        F.coalesce(
+            F.sum((F.col("n_tokens") == args.max_len).cast("int")), F.lit(0)
+        ).alias("full_chunks"),
+    )
+    packed.write.mode("overwrite").partitionBy("shard").parquet(args.out)
+    agg = obs.get
+    metrics["stages"]["pack_write"] = {
+        "rows": int(agg["chunks"]), "sec": round(time.perf_counter() - t, 2),
+    }
+    if not args.no_stage_counts:
+        metrics["docs_in"] = n_in
+    metrics.update(
+        {
+            "chunks": int(agg["chunks"]),
+            "tokens_packed": int(agg["tokens"]),
+            "full_chunk_frac": round(int(agg["full_chunks"]) / max(int(agg["chunks"]), 1), 4),
+            "max_len": args.max_len,
+            "n_shards": args.shards,
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "out": args.out,
+        }
+    )
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
