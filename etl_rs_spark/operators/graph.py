@@ -21,7 +21,8 @@ keyed on node/label ids — balanced keys, broadcast-free, no global
 structure. State between rounds is ONE (node, component) frame,
 ``localCheckpoint``-ed so the plan does not grow with iterations (the
 classic iterative-DataFrame lineage explosion). Convergence is
-detected by counting changed labels (a scalar per round). The result
+detected by a changed-label count that rides the checkpoint job as an
+``Observation`` — zero extra actions or joins per round. The result
 is the TRUE components — a pure function of the edge set, independent
 of iteration order, partitioning, or cluster size — which is what
 makes a SQL oracle possible (DuckDB replays it as recursive-CTE
@@ -63,38 +64,43 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
-        # smallest neighbor label per node
+    from pyspark.sql import Observation
+
+    for it in range(max_iter):
+        # smallest neighbor label per node; carry the old label so the
+        # convergence check RIDES the checkpoint job (an Observation)
+        # instead of costing a separate join+count action per round
         neigh = (
             und.join(labels, und["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("component").alias("_nc"))
             .withColumnRenamed("u", "node")
         )
-        stepped = (
-            labels.join(neigh, "node", "left")
-            .select("node", F.least("component", "_nc").alias("component"))
+        stepped = labels.join(neigh, "node", "left").select(
+            "node",
+            F.col("component").alias("_old"),
+            F.least("component", "_nc").alias("component"),
         )
         # path halving: component <- label(component)
         parent = stepped.select(
             F.col("node").alias("_p_node"), F.col("component").alias("_p_comp")
         )
-        halved = (
-            stepped.join(parent, stepped["component"] == parent["_p_node"], "left")
-            .select(
-                "node",
-                F.least("component", "_p_comp").alias("component"),
-            )
+        halved = stepped.join(
+            parent, stepped["component"] == parent["_p_node"], "left"
+        ).select(
+            "node",
+            "_old",
+            F.least("component", "_p_comp").alias("component"),
         )
-        halved = halved.localCheckpoint(eager=True)
-        changed = (
-            halved.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+        obs = Observation(f"cc_round_{it}")
+        halved = halved.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("component") != F.col("_old")).cast("long")), F.lit(0)
+            ).alias("changed"),
         )
-        labels = halved
-        if changed == 0:
+        labels = halved.select("node", "component").localCheckpoint(eager=True)
+        if int(obs.get["changed"]) == 0:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
