@@ -578,6 +578,7 @@ def decontaminate(
     word_ids_col: str = "word_ids",
     mode: str = "mark",
     max_probe_freq: int | None = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag (or drop) training documents that
     share word n-grams with an evaluation/benchmark probe set — the
@@ -598,7 +599,11 @@ def decontaminate(
     scan). Matched postings (rare) aggregate per doc, and the hit
     counts join back as another small broadcast. The training corpus
     therefore crosses the wire zero times; the only wide exchange is
-    over match rows. ``max_probe_freq`` drops probe shingles that occur
+    over match rows. If the probe suite is itself huge (distinct
+    shingles past executor memory), pass ``broadcast_probes=False`` to
+    drop the hint and let the optimizer choose — a shingle-keyed
+    shuffle join at real scale, same result either way (equivalence
+    pinned in tests). ``max_probe_freq`` drops probe shingles that occur
     in more than that many probe docs first (boilerplate n-grams every
     doc contains would otherwise mark the whole corpus — recall-one-
     sided like q21's stop-shingle cap: dropping a probe shingle can
@@ -622,8 +627,9 @@ def decontaminate(
     ).filter(F.col("_s").isNotNull())
     # shingles are distinct per doc, so the match count IS the number
     # of distinct probe shingles present
+    probe_side = F.broadcast(probe_sh) if broadcast_probes else probe_sh
     hits = (
-        doc_post.join(F.broadcast(probe_sh), "_s")
+        doc_post.join(probe_side, "_s")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
     )

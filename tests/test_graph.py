@@ -102,6 +102,32 @@ def test_dedup_survivors_one_per_cluster(spark):
     assert all(sum(v) == 1 for v in comps.values())
 
 
+def test_cc_over_embedding_near_dup_pairs(spark):
+    """The other pair source: embedding near-dup edges (q27's operator)
+    resolve into components — every edge's two ends share a component,
+    exactly one survivor per cluster, and all endpoint ids appear."""
+    import __spark_entry__ as entry
+
+    pairs = entry.q27_embedding_near_dups(spark, "/root/testdata/sf0.001")
+    edges = {(r["id_l"], r["id_r"]) for r in pairs.collect()}
+    assert edges, "fixture regression: q27 found no pairs at sf0.001"
+    out = {r["node"]: (r["component"], r["is_survivor"])
+           for r in dedup_survivors(pairs).collect()}
+    assert set(out) == {n for e in edges for n in e}
+    for u, v in edges:
+        assert out[u][0] == out[v][0]
+    comps = {}
+    for _n, (c, surv) in out.items():
+        comps[c] = comps.get(c, 0) + int(surv)
+    assert all(v == 1 for v in comps.values())
+    assert out == _bfs_components_survivors(edges)
+
+
+def _bfs_components_survivors(edges):
+    cc = _bfs_components(edges)
+    return {n: (c, n == c) for n, c in cc.items()}
+
+
 def test_cc_string_ids(spark):
     """Doc ids are strings in the CDC shape; min is lexicographic."""
     df = spark.createDataFrame(

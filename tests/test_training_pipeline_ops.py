@@ -223,6 +223,12 @@ def test_decontaminate_probe_freq_cap_is_one_sided(spark):
     }
     assert capped == {"t1": 0, "t2": 1}  # boilerplate shingle gone
     assert all(capped[k] <= uncapped[k] for k in uncapped)
+    # unhinted probe side (huge-eval-suite escape hatch): same result
+    unhinted = {
+        r["doc_id"]: r["n_hits"]
+        for r in ds.decontaminate(train, probes, n=3, broadcast_probes=False).collect()
+    }
+    assert unhinted == uncapped
 
 
 def test_decontaminate_plans_broadcast_probe_join(spark):
