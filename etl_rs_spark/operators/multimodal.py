@@ -329,8 +329,16 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"unsupported PNG (depth={depth} colour={ctype_i} "
             f"interlace={interlace}); only 8-bit RGB/RGBA non-interlaced"
         )
+    if w == 0 or h == 0:
+        raise ValueError("PNG frame with zero dimension")
     ch = 3 if ctype_i == 2 else 4
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        # ValueError is the ONLY malformed-input exception decode_media's
+        # non-strict fallback catches — a leaked zlib.error would kill
+        # the whole Spark task on one corrupt row (found by fuzzing)
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data has wrong length")

@@ -77,6 +77,20 @@ def test_jpeg_q100_error_bound_any_raster(w, h, seed, sub):
     assert err.max() <= 6
 
 
+def test_png_corrupt_idat_is_valueerror():
+    """A PNG whose IDAT bytes are corrupted (valid signature + chunks,
+    broken deflate stream) must raise ValueError, not leak zlib.error —
+    decode_media's non-strict fallback catches exactly ValueError, so a
+    leak kills the whole Spark task on one corrupt row. Found by
+    tools/fuzz_codecs.py."""
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    good = bytearray(mm.encode_png(px))
+    idat_at = bytes(good).find(b"IDAT")
+    good[idat_at + 10] ^= 0xFF  # flip bits inside the deflate stream
+    with pytest.raises(ValueError, match="IDAT|PNG"):
+        mm.decode_png(bytes(good))
+
+
 @SET
 @given(payload=st.binary(min_size=0, max_size=64))
 def test_codecs_never_accept_garbage_silently(payload):
