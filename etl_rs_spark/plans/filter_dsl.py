@@ -42,7 +42,28 @@ def _escape_like(s: str) -> str:
     return s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
 
 
+def _require_list(op: str, operand) -> list:
+    # list(operand) on an int/None raises bare TypeError, and on a STRING
+    # silently explodes into characters — both must be the DSL's own error
+    if isinstance(operand, (str, bytes)) or not isinstance(operand, (list, tuple, set)):
+        raise FilterError(f"{op} needs a list operand, got {type(operand).__name__}")
+    return list(operand)
+
+
+def _require_str(op: str, operand) -> str:
+    if not isinstance(operand, str):
+        raise FilterError(f"{op} needs a string operand, got {type(operand).__name__}")
+    return operand
+
+
 def _op_to_column(col: Column, op: str, operand) -> Column:
+    if op in ("$in", "$notIn"):
+        operand = _require_list(op, operand)
+    elif op in (
+        "$contains", "$notContains", "$startsWith", "$endsWith",
+        "$containsCi", "$startsWithCi", "$endsWithCi",
+    ):
+        operand = _require_str(op, operand)
     if op == "$eq":
         return col == operand
     if op == "$ne":
@@ -91,6 +112,8 @@ def filter_to_column(flt) -> Column:
         raise FilterError(f"filter must be dict or list, got {type(flt).__name__}")
     conds: list[Column] = []
     for key, val in flt.items():
+        if not isinstance(key, str) or not key:
+            raise FilterError(f"filter keys must be column names, got {key!r}")
         if key == "$or":
             conds.append(filter_to_column(list(val)))
             continue
@@ -126,11 +149,17 @@ class ListOptions:
             raise FilterError(
                 f"limit {limit} exceeds max {MAX_LIMIT}"  # crud_fns.rs:169-176
             )
+        if limit < 0:
+            raise FilterError(f"limit must be >= 0, got {limit}")
         return limit
 
     def sort_columns(self) -> list[Column]:
+        if self.offset is not None and self.offset < 0:
+            raise FilterError(f"offset must be >= 0, got {self.offset}")
         cols = []
-        for ob in self.order_bys:
+        for ob in self.order_bys or []:
+            if not isinstance(ob, str) or not ob.lstrip("!"):
+                raise FilterError(f"order_by entries must be column names, got {ob!r}")
             if ob.startswith("!"):
                 cols.append(F.col(ob[1:]).desc())
             else:
@@ -145,7 +174,11 @@ def list_query(
     filter -> order -> offset/limit."""
     opts = opts or ListOptions(order_bys=[df.columns[0]])
     out = df.filter(filter_to_column(flt)) if flt is not None else df
-    out = out.orderBy(*opts.sort_columns())
+    sort_cols = opts.sort_columns()
+    # a None/empty order_bys (callers constructing ListOptions directly)
+    # falls back to the reference's id ordering — pagination without a
+    # defined order would be nondeterministic
+    out = out.orderBy(*(sort_cols or [F.col(df.columns[0]).asc()]))
     if opts.offset:
         out = out.offset(opts.offset)
     return out.limit(opts.effective_limit())

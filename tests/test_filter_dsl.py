@@ -90,3 +90,37 @@ def test_first_does_not_mutate_options(tbl):
     assert first(tbl, None, opts).count() == 1
     assert opts.limit == 4  # caller's options untouched
     assert list_query(tbl, None, opts).count() == 4
+
+
+def test_hostile_inputs_raise_typed_errors(tbl):
+    """Malformed filters/options must be FilterError, never a bare
+    TypeError/AttributeError from the compiler internals — found by
+    fuzzing (tools-free inline fuzz, 400 hostile filters)."""
+    # $in with a scalar (list() would TypeError) or a STRING (list()
+    # would silently explode it into characters)
+    with pytest.raises(FilterError, match=r"\$in needs a list"):
+        filter_to_column({"id": {"$in": 7}})
+    with pytest.raises(FilterError, match=r"\$in needs a list"):
+        filter_to_column({"name": {"$in": "abc"}})
+    # string ops with non-string operands (.replace/.lower would leak)
+    with pytest.raises(FilterError, match=r"\$contains needs a string"):
+        filter_to_column({"name": {"$contains": 3.5}})
+    with pytest.raises(FilterError, match=r"\$startsWithCi needs a string"):
+        filter_to_column({"name": {"$startsWithCi": None}})
+    # non-string / empty filter keys
+    with pytest.raises(FilterError, match="column names"):
+        filter_to_column({3: "x"})
+    with pytest.raises(FilterError, match="column names"):
+        filter_to_column({"": "x"})
+    # negative paging and broken order_bys entries
+    with pytest.raises(FilterError, match="limit must be >= 0"):
+        list_query(tbl, None, ListOptions(limit=-3)).count()
+    with pytest.raises(FilterError, match="offset must be >= 0"):
+        list_query(tbl, None, ListOptions(offset=-1)).count()
+    with pytest.raises(FilterError, match="order_by entries"):
+        list_query(tbl, None, ListOptions(order_bys=["!"])).count()
+    with pytest.raises(FilterError, match="order_by entries"):
+        list_query(tbl, None, ListOptions(order_bys=[None])).count()
+    # order_bys=None falls back to deterministic id ordering
+    opts = ListOptions(limit=2, order_bys=None)
+    assert [r["id"] for r in list_query(tbl, None, opts).collect()] == [1, 2]
