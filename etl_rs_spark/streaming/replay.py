@@ -138,8 +138,15 @@ def process_batch(
     )
 
     def offsets_fn() -> dict[int, int]:
+        # malformed envelopes can carry NULL partition/offset (broker
+        # metadata is never null on a real Kafka read, but file-based
+        # logs can be corrupt); they can't advance any partition's
+        # committed offset, and int(None) would kill the COMMIT of an
+        # otherwise-good batch after its data is already written
         return {
-            int(r["partition"]): int(r["max_offset"]) for r in per_part_fut.result()
+            int(r["partition"]): int(r["max_offset"])
+            for r in per_part_fut.result()
+            if r["partition"] is not None and r["max_offset"] is not None
         }
 
     # Normalize-after-LWW: row validity is just "delete, or at least

@@ -369,6 +369,47 @@ def test_auto_compact_policy_adoptable_on_existing_table(
     assert LakehouseTable(spark, path, mode="mor").auto_compact_files == 1
 
 
+def test_hostile_null_envelopes_commit_and_reconverge(spark, tmp_path):
+    """Events with NULLs in every malformed-payload slot (op, lsn,
+    doc_id, tokens, n_tok, partition, offset) must not kill the batch:
+    the offsets lineage job skips NULL partitions (int(None) used to
+    crash the COMMIT after the data write), invalid rows drop, and
+    replaying the same batch under a new key reconverges exactly."""
+    rows = [
+        ("insert", 1, 0, 0, 100, "d1", [1, 2], 2, "s"),
+        (None, 2, 0, 1, 100, "d1", [3], 1, "s"),
+        ("update", None, 0, 2, 100, "d2", [4], 1, "s"),
+        ("insert", 3, 0, 3, 100, None, [5], 1, "s"),
+        ("insert", 4, 0, 4, 100, "d3", None, 0, "s"),
+        ("delete", 5, 0, 5, 100, "d1", None, None, "s"),
+        ("insert", 6, None, None, 100, "d4", [7, 8], 2, "s"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "op string, lsn long, partition int, offset long, ts long, "
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    t = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    cfg = ReplayConfig(vocab=50257, max_len=16)
+    process_batch(t, df, "hostile", cfg=cfg)
+
+    def snap():
+        return {
+            r["doc_id"]: tuple(r["tokens"]) if r["tokens"] is not None else None
+            for r in t.read().collect()
+        }
+
+    s1 = snap()
+    # d1 deleted at lsn 5; d2 survives its null-lsn event; d3's null
+    # tokens are invalid (dropped); d4's null-partition insert lands
+    assert s1["d2"] == (4,) and s1["d4"] == (7, 8)
+    assert "d1" not in s1 and "d3" not in s1
+    # null-partition rows advance no committed offset
+    assert t.committed_offsets() == {0: 5}
+    process_batch(t, df, "hostile2", cfg=cfg)
+    assert snap() == s1
+
+
 def test_lww_flavors_agree_on_null_order_columns(spark):
     """A key whose winning (lsn, offset) contains NULLs (a source that
     doesn't stamp lsn) must not vanish from lww_thin — its join-back is
