@@ -159,8 +159,15 @@ class LakehouseTable:
         return os.path.join(self._snap_dir, "CURRENT")
 
     def manifest(self) -> dict:
-        with open(self._current_path) as f:
-            version = int(f.read().strip())
+        try:
+            with open(self._current_path) as f:
+                version = int(f.read().strip())
+        except ValueError as e:
+            # CURRENT is written via atomic rename, so garbage here means
+            # external corruption — name the file, don't leak int()'s error
+            raise ValueError(
+                f"corrupt CURRENT pointer at {self._current_path!r}: {e}"
+            ) from e
         return self.manifest_at(version)
 
     def manifest_at(self, version: int) -> dict:
@@ -171,8 +178,14 @@ class LakehouseTable:
         path = os.path.join(self._snap_dir, f"v{version}.json")
         if not os.path.exists(path):
             raise ValueError(f"no snapshot v{version} at {self.path!r}")
-        with open(path) as f:
-            return json.load(f)
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except json.JSONDecodeError as e:
+            # manifests are written tmp+link (never partially visible), so
+            # a parse failure means disk-level corruption — say which
+            # snapshot file, so the operator can roll CURRENT back a version
+            raise ValueError(f"corrupt manifest {path!r}: {e}") from e
 
     def _write_manifest(self, man: dict, version: int) -> None:
         final = os.path.join(self._snap_dir, f"v{version}.json")

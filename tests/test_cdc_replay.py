@@ -369,6 +369,27 @@ def test_auto_compact_policy_adoptable_on_existing_table(
     assert LakehouseTable(spark, path, mode="mor").auto_compact_files == 1
 
 
+def test_corrupt_manifest_errors_name_the_file(spark, tmp_path, binlog):
+    """Disk-level corruption of a snapshot manifest or the CURRENT
+    pointer must surface as a ValueError naming the broken file (so the
+    operator can roll back a version), not a raw JSONDecodeError /
+    int() parse error."""
+    _, segs, _ = binlog
+    path = str(tmp_path / "t")
+    t = LakehouseTable(spark, path, n_buckets=4, mode="mor")
+    process_batch(t, spark.read.option("mergeSchema", True).parquet(segs[0]),
+                  "b0", cfg=CFG)
+    man_path = str(tmp_path / "t" / "_snapshots" / "v1.json")
+    with open(man_path, "w") as f:
+        f.write('{"version": 1, "buckets"')  # truncated JSON
+    with pytest.raises(ValueError, match="corrupt manifest .*v1.json"):
+        t.manifest()
+    with open(str(tmp_path / "t" / "_snapshots" / "CURRENT"), "w") as f:
+        f.write("not-a-number")
+    with pytest.raises(ValueError, match="corrupt CURRENT pointer"):
+        t.manifest()
+
+
 def test_hostile_null_envelopes_commit_and_reconverge(spark, tmp_path):
     """Events with NULLs in every malformed-payload slot (op, lsn,
     doc_id, tokens, n_tok, partition, offset) must not kill the batch:
