@@ -65,6 +65,21 @@ def _cosine_precomputed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return dot(a, b) / F.nullif(na * nb, F.lit(0.0))
 
 
+def _finite_scores(scored: DataFrame) -> DataFrame:
+    """Drop candidates whose score is NULL/NaN/Inf before a top-k rank:
+    a NaN/Inf embedding (real dumps contain them) yields a NaN score,
+    and Spark's DESC sort ranks NaN ABOVE every real number — one
+    poisoned corpus vector would displace genuine neighbors from EVERY
+    query's top-k. Zero vectors score null via the nullif norm guard
+    and drop here too. Shared by every ranking path so they cannot
+    disagree on degenerate vectors."""
+    return scored.filter(
+        F.col("score").isNotNull()
+        & ~F.isnan("score")
+        & (F.abs("score") != float("inf"))
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -96,6 +111,7 @@ def cosine_topk(
             _cosine_precomputed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
         )
     )
+    scored = _finite_scores(scored)
     # rank on the RAW score (deterministic given deterministic inputs);
     # round only the reported value
     w = Window.partitionBy("query_id").orderBy(
@@ -274,6 +290,7 @@ def lsh_topk(
             _cosine_precomputed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
         )
     )
+    scored = _finite_scores(scored)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -351,6 +368,7 @@ def ivf_topk(
             _cosine_precomputed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
         )
     )
+    scored = _finite_scores(scored)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -506,6 +524,7 @@ def lsh_topk_partitioned(
             _cosine_precomputed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
         )
     )
+    scored = _finite_scores(scored)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -613,6 +632,7 @@ def ivf_topk_partitioned(
             _cosine_precomputed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
         )
     )
+    scored = _finite_scores(scored)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -735,6 +755,7 @@ def ivf_topk_exact(
             _cosine_precomputed(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")),
         )
     )
+    scored = _finite_scores(scored)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

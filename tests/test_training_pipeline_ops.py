@@ -250,6 +250,28 @@ def test_decontaminate_plans_broadcast_probe_join(spark):
 
 # -- similarity ------------------------------------------------------------
 
+def test_topk_ignores_poisoned_vectors(spark):
+    """One NaN/Inf/zero embedding in the corpus must not displace real
+    neighbors: Spark's DESC sort ranks NaN above every number, so an
+    unguarded window would put the poisoned vector at rank 1 for EVERY
+    query. Degenerate candidates drop; real ranking is unchanged."""
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [float("nan"), 1.0, 0.0, 0.0]),
+        (4, [float("inf"), 0.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 0.0]),
+        (6, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    out = sim.cosine_topk(df.filter("vec_id = 1"), df, k=5).collect()
+    ids = [r["neighbor_id"] for r in out]
+    assert ids == [2, 6]  # only finite-scored neighbors, best first
+    assert all(
+        r["score"] is not None and math.isfinite(r["score"]) for r in out
+    )
+
+
 VECS = [
     (1, [1.0, 0.0, 0.0, 0.0]),
     (2, [0.9, 0.1, 0.0, 0.0]),
