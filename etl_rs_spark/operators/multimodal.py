@@ -332,15 +332,21 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise ValueError("PNG frame with zero dimension")
     ch = 3 if ctype_i == 2 else 4
+    stride = w * ch
+    expected = h * (stride + 1)
     try:
-        raw = zlib.decompress(idat)
+        # BOUNDED inflate: a deflate bomb packs GBs of zeros into a few
+        # KB, and an unbounded zlib.decompress would OOM the task before
+        # the length check below ever ran. Cap at expected+1 — one extra
+        # byte distinguishes "too much data" from "exactly right".
+        dec = zlib.decompressobj()
+        raw = dec.decompress(idat, expected + 1)
     except zlib.error as e:
         # ValueError is the ONLY malformed-input exception decode_media's
         # non-strict fallback catches — a leaked zlib.error would kill
         # the whole Spark task on one corrupt row (found by fuzzing)
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected or dec.unconsumed_tail:
         raise ValueError("PNG scanline data has wrong length")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

@@ -115,6 +115,10 @@ def filter_to_column(flt) -> Column:
         if not isinstance(key, str) or not key:
             raise FilterError(f"filter keys must be column names, got {key!r}")
         if key == "$or":
+            if not isinstance(val, (list, tuple)):
+                raise FilterError(
+                    f"$or needs a list of filters, got {type(val).__name__}"
+                )
             conds.append(filter_to_column(list(val)))
             continue
         if key.startswith("$"):
@@ -153,9 +157,15 @@ class ListOptions:
             raise FilterError(f"limit must be >= 0, got {limit}")
         return limit
 
-    def sort_columns(self) -> list[Column]:
+    def validate(self) -> None:
+        """Reject malformed paging up front (typed errors, not a crash
+        deep inside Spark): called by list_query before anything runs."""
+        self.effective_limit()
         if self.offset is not None and self.offset < 0:
             raise FilterError(f"offset must be >= 0, got {self.offset}")
+        self.sort_columns()
+
+    def sort_columns(self) -> list[Column]:
         cols = []
         for ob in self.order_bys or []:
             if not isinstance(ob, str) or not ob.lstrip("!"):
@@ -173,6 +183,7 @@ def list_query(
     """The reference's `list` entry point (crud_fns.rs:129-189):
     filter -> order -> offset/limit."""
     opts = opts or ListOptions(order_bys=[df.columns[0]])
+    opts.validate()
     out = df.filter(filter_to_column(flt)) if flt is not None else df
     sort_cols = opts.sort_columns()
     # a None/empty order_bys (callers constructing ListOptions directly)

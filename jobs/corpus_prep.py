@@ -84,7 +84,10 @@ def main() -> None:
         if "=" not in kv:
             ap.error(f"--weight {kv!r} is not of the form source=weight")
         s, w = kv.split("=", 1)
-        weights[s] = float(w)
+        try:
+            weights[s] = float(w)
+        except ValueError:
+            ap.error(f"--weight {kv!r}: {w!r} is not a number")
 
     spark = get_spark(
         app_name="corpus-prep",
@@ -115,10 +118,14 @@ def main() -> None:
     # 2. near-dup groups -> keep one survivor per cluster
     if args.jaccard > 0:
         t = time.perf_counter()
+        # the stop-shingle cap scales with corpus size — counted HERE
+        # regardless of --no-stage-counts (that flag is metrics-only and
+        # must never change the dedup result)
+        n_for_cap = n_exact if n_exact >= 0 else docs.count()
         wi = DS.doc_word_ids_hashed(docs, extra_cols=("lang",))
         edges = DS.ngram_jaccard_pairs(
             wi, blocking_col="lang", n=3, threshold=args.jaccard,
-            max_doc_freq=max(64, abs(n_exact) // 100),
+            max_doc_freq=max(64, n_for_cap // 100),
         )
         drops = dedup_survivors(edges).filter(~F.col("is_survivor")).select(
             F.col("node").alias("doc_id")

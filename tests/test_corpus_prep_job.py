@@ -44,11 +44,30 @@ def test_corpus_prep_cli(tmp_path):
     assert (n, tok) == (m["chunks"], m["tokens_packed"])
     assert mx <= 128
     # a malformed --weight is a usage error, not a stack trace
-    bad = subprocess.run(
+    for w, msg in [("novalue", "source=weight"), ("src0=abc", "not a number")]:
+        bad = subprocess.run(
+            [
+                sys.executable, os.path.join(REPO, "jobs", "corpus_prep.py"),
+                "--docs", "x", "--out", "y", "--weight", w,
+            ],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert bad.returncode == 2 and msg in bad.stderr, (w, bad.stderr[-300:])
+    # --no-stage-counts is metrics-only: the packed corpus is IDENTICAL
+    # (the near-dup stop-shingle cap must not silently change with it)
+    out2 = str(tmp_path / "packed2")
+    p2 = subprocess.run(
         [
             sys.executable, os.path.join(REPO, "jobs", "corpus_prep.py"),
-            "--docs", "x", "--out", "y", "--weight", "novalue",
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out2,
+            "--max-len", "128", "--shards", "4", "--cpus", "4",
+            "--weight", "src0=2.0", "--weight", "src1=0.5",
+            "--jaccard", "0.9", "--sep-token", "50256",
+            "--no-stage-counts",
         ],
-        capture_output=True, text=True, timeout=120,
+        capture_output=True, text=True, timeout=600, cwd=str(tmp_path),
     )
-    assert bad.returncode == 2 and "source=weight" in bad.stderr
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    m2 = json.loads([l for l in p2.stdout.splitlines() if l.startswith('{"metric"')][-1])
+    assert (m2["chunks"], m2["tokens_packed"]) == (m["chunks"], m["tokens_packed"])

@@ -112,6 +112,11 @@ def test_hostile_inputs_raise_typed_errors(tbl):
         filter_to_column({3: "x"})
     with pytest.raises(FilterError, match="column names"):
         filter_to_column({"": "x"})
+    # $or with a non-list operand (list() would TypeError)
+    with pytest.raises(FilterError, match=r"\$or needs a list"):
+        filter_to_column({"$or": 5})
+    with pytest.raises(FilterError, match=r"\$or needs a list"):
+        filter_to_column({"$or": None})
     # negative paging and broken order_bys entries
     with pytest.raises(FilterError, match="limit must be >= 0"):
         list_query(tbl, None, ListOptions(limit=-3)).count()

@@ -77,6 +77,27 @@ def test_jpeg_q100_error_bound_any_raster(w, h, seed, sub):
     assert err.max() <= 6
 
 
+def test_png_decompression_bomb_is_bounded():
+    """A few-KB PNG whose IDAT inflates to GBs must fail the length
+    check WITHOUT materializing the bomb (bounded decompressobj) — an
+    unbounded zlib.decompress would OOM the task before any check."""
+    import struct as _struct
+    import zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)  # 8x8 RGB
+    # ~200MB of zeros compresses to ~200KB; expected raw is 8*(24+1)=200B
+    bomb = zlib.compress(b"\x00" * (200 * 1024 * 1024), 9)
+    payload = (
+        mm.PNG_MAGIC
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", bomb)
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert len(payload) < 1 << 20  # the bomb itself is small on disk
+    with pytest.raises(ValueError, match="wrong length"):
+        mm.decode_png(payload)
+
+
 def test_png_corrupt_idat_is_valueerror():
     """A PNG whose IDAT bytes are corrupted (valid signature + chunks,
     broken deflate stream) must raise ValueError, not leak zlib.error —

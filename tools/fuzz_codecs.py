@@ -23,7 +23,6 @@ Exit 0 = no contract violations. Prints a one-line JSON summary.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import random
@@ -108,10 +107,22 @@ def main(iterations: int = 2000, seed: int = 0) -> int:
             stats["mutations"] += 1
             try:
                 r = decoder(mutant)
-                # a decode that "succeeds" must still produce sane output
+                # a decode that "succeeds" must still produce sane output:
+                # images are (h, w, ch>=3) uint8 with positive dims; wav is
+                # a 1-D sample array (possibly empty: a zero-sample data
+                # chunk is a legal container)
                 arr = r[0] if isinstance(r, tuple) else r
-                if not isinstance(arr, np.ndarray) or arr.size < 0:
-                    violations.append(f"{name}: non-array success at iter {it}")
+                sane = isinstance(arr, np.ndarray) and (
+                    (name == "wav" and arr.ndim == 1)
+                    or (name != "wav" and arr.ndim == 3 and arr.dtype == np.uint8
+                        and arr.shape[0] > 0 and arr.shape[1] > 0
+                        and arr.shape[2] >= 3)
+                )
+                if not sane:
+                    violations.append(
+                        f"{name}: insane success at iter {it}: "
+                        f"{type(arr).__name__} shape={getattr(arr, 'shape', None)}"
+                    )
                 stats["clean_decodes_of_mutants"] += 1
             except ValueError:
                 pass
