@@ -408,6 +408,11 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = toks
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
+    if w <= 0 or h <= 0:
+        # a mutated "0 23" header would otherwise "decode" to an empty
+        # raster — fabricated success on a frame with no pixels (found
+        # by fuzzing; PNG/JPEG already reject zero dims)
+        raise ValueError(f"PPM frame with non-positive dimension {w}x{h}")
     raw = payload[pos + 1 : pos + 1 + w * h * 3]
     if len(raw) != w * h * 3:
         raise ValueError("truncated PPM pixel data")

@@ -77,6 +77,15 @@ def test_jpeg_q100_error_bound_any_raster(w, h, seed, sub):
     assert err.max() <= 6
 
 
+def test_ppm_rejects_zero_dimension_header():
+    """'P6\\n0 23\\n255\\n' must be a ValueError, not an empty-raster
+    'success' — fabricated data for a frame with no pixels (found by
+    fuzzing; PNG/JPEG already reject zero dims)."""
+    for hdr in (b"P6\n0 23\n255\n", b"P6\n4 0\n255\n", b"P6\n-3 2\n255\n"):
+        with pytest.raises(ValueError):
+            mm.decode_ppm(hdr)
+
+
 def test_png_decompression_bomb_is_bounded():
     """A few-KB PNG whose IDAT inflates to GBs must fail the length
     check WITHOUT materializing the bomb (bounded decompressobj) — an
