@@ -396,6 +396,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, hi, vi, body[8 + 3 * c]))
             if h == 0 or w == 0:
                 raise ValueError("JPEG frame with zero dimension")
+            # same decode ceiling as the other raster codecs: a corrupt
+            # SOF claiming a 65535x65535 frame would allocate a ~17 GB
+            # coefficient plane before the entropy stream is even read
+            from etl_rs_spark.operators.multimodal import MAX_DECODE_PIXELS
+
+            if h * w > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} exceed the decode ceiling"
+                )
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(

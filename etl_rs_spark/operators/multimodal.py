@@ -264,6 +264,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 #: PNG file signature (8 bytes)
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+#: decode ceiling shared by the raster codecs: 2^26 pixels (~8K x 8K)
+#: is far above any training-payload image, and a corrupt header
+#: claiming more must be a clean ValueError rather than a multi-GB
+#: allocation that OOMs the executor on one hostile row
+MAX_DECODE_PIXELS = 1 << 26
+
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     import zlib
@@ -331,6 +337,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     if w == 0 or h == 0:
         raise ValueError("PNG frame with zero dimension")
+    if w * h > MAX_DECODE_PIXELS:
+        # a bit-flipped IHDR can claim absurd dimensions: the huge
+        # expected size overflows the C ssize_t of the bounded inflate
+        # (found by fuzzing), and a "plausible" 2^32-pixel frame would
+        # OOM the task on allocation before any data check
+        raise ValueError(f"PNG dimensions {w}x{h} exceed the decode ceiling")
     ch = 3 if ctype_i == 2 else 4
     stride = w * ch
     expected = h * (stride + 1)

@@ -86,6 +86,31 @@ def test_ppm_rejects_zero_dimension_header():
             mm.decode_ppm(hdr)
 
 
+def test_raster_decode_ceiling_rejects_absurd_headers():
+    """Bit-flipped headers claiming multi-gigapixel frames must be
+    clean ValueErrors: the PNG case overflowed the bounded inflate's
+    C ssize_t (found by fuzzing), the JPEG case would allocate a ~17GB
+    coefficient plane before reading any entropy data."""
+    import struct as _struct
+
+    ihdr = _struct.pack(">IIBBBBB", 0x40000000, 0x40000000, 8, 2, 0, 0, 0)
+    payload = (
+        mm.PNG_MAGIC
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", b"x")
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decode ceiling"):
+        mm.decode_png(payload)
+    from etl_rs_spark.operators import jpeg as J
+
+    good = bytearray(J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = bytes(good).find(b"\xff\xc0")
+    good[sof + 5 : sof + 9] = (65535).to_bytes(2, "big") * 2  # h=w=65535
+    with pytest.raises(ValueError, match="decode ceiling"):
+        J.decode_jpeg(bytes(good))
+
+
 def test_png_decompression_bomb_is_bounded():
     """A few-KB PNG whose IDAT inflates to GBs must fail the length
     check WITHOUT materializing the bomb (bounded decompressobj) — an
