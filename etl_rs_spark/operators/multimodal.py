@@ -358,8 +358,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         # non-strict fallback catches — a leaked zlib.error would kill
         # the whole Spark task on one corrupt row (found by fuzzing)
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    if len(raw) != expected or dec.unconsumed_tail:
-        raise ValueError("PNG scanline data has wrong length")
+    # dec.eof: the bounded path must not LOSE the stream-completeness +
+    # adler32 validation plain zlib.decompress performed — an IDAT cut
+    # at the trailer yields exactly `expected` bytes with eof=False and
+    # previously raised, so it must still raise. unused_data: trailing
+    # garbage after a complete stream is equally corrupt.
+    if len(raw) != expected or dec.unconsumed_tail or not dec.eof or dec.unused_data:
+        raise ValueError("PNG scanline data has wrong length or truncated stream")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):

@@ -115,11 +115,7 @@ def filter_to_column(flt) -> Column:
         if not isinstance(key, str) or not key:
             raise FilterError(f"filter keys must be column names, got {key!r}")
         if key == "$or":
-            if not isinstance(val, (list, tuple)):
-                raise FilterError(
-                    f"$or needs a list of filters, got {type(val).__name__}"
-                )
-            conds.append(filter_to_column(list(val)))
+            conds.append(filter_to_column(_require_list("$or", val)))
             continue
         if key.startswith("$"):
             # any other group op ('$and', a typo like '$Or') must fail
@@ -158,12 +154,12 @@ class ListOptions:
         return limit
 
     def validate(self) -> None:
-        """Reject malformed paging up front (typed errors, not a crash
-        deep inside Spark): called by list_query before anything runs."""
-        self.effective_limit()
+        """Reject malformed paging up front. Only the offset check lives
+        here — effective_limit() and sort_columns() already raise their
+        own typed errors when list_query calls them, so re-running them
+        would just do every validation twice per query."""
         if self.offset is not None and self.offset < 0:
             raise FilterError(f"offset must be >= 0, got {self.offset}")
-        self.sort_columns()
 
     def sort_columns(self) -> list[Column]:
         cols = []

@@ -132,6 +132,38 @@ def test_png_decompression_bomb_is_bounded():
         mm.decode_png(payload)
 
 
+def test_png_truncated_trailer_still_rejected():
+    """The bounded inflate must not LOSE plain zlib.decompress's
+    completeness check: an IDAT cut at the adler32 trailer yields all
+    the scanline bytes with eof=False and must still be a ValueError
+    (found by review of the bomb fix)."""
+    import zlib
+
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    good = mm.encode_png(px)
+    idat_at = good.find(b"IDAT")
+    import struct as _struct
+
+    (length,) = _struct.unpack_from(">I", good, idat_at - 4)
+    body = good[idat_at + 4 : idat_at + 4 + length]
+    cut = body[:-4]  # complete deflate data, adler32 trailer gone
+    rebuilt = (
+        good[: idat_at - 4]
+        + mm._png_chunk(b"IDAT", cut)
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="wrong length or truncated"):
+        mm.decode_png(rebuilt)
+    # and trailing garbage AFTER a complete stream is equally corrupt
+    rebuilt2 = (
+        good[: idat_at - 4]
+        + mm._png_chunk(b"IDAT", body + b"junk")
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        mm.decode_png(rebuilt2)
+
+
 def test_png_corrupt_idat_is_valueerror():
     """A PNG whose IDAT bytes are corrupted (valid signature + chunks,
     broken deflate stream) must raise ValueError, not leak zlib.error —
