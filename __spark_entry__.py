@@ -637,7 +637,11 @@ def q34_pack_sequences(spark, sf_dir):
     cut every 128 tokens — docs straddle window boundaries, zero tokens
     lost. ONE shuffle end-to-end (the chunk groupBy reuses the offset
     window's shard partitioning); the DuckDB oracle replays the
-    cumulative-offset window and per-chunk slices exactly."""
+    cumulative-offset window and per-chunk slices exactly. The token
+    array is serialized with array_join for the gate — the driver's
+    canonicalizer sorts columns and cannot sort list-typed cells (the
+    q08 precedent); pytest keeps the raw-array exactness check
+    (tests/test_packing.py)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -646,7 +650,14 @@ def q34_pack_sequences(spark, sf_dir):
             lambda w: (DS.word_hash60(w) % F.lit(50257)).cast("int"),
         ).alias("tokens"),
     )
-    return PK.pack_sequences(toks, max_len=128, n_shards=8)
+    packed = PK.pack_sequences(toks, max_len=128, n_shards=8)
+    return packed.select(
+        "shard",
+        "chunk",
+        F.array_join("tokens", " ").alias("tokens"),
+        "n_tokens",
+        "n_docs",
+    )
 
 
 def q35_decontaminate(spark, sf_dir):
@@ -1610,7 +1621,7 @@ def oracle_sql() -> dict[str, str]:
           FROM spans
         )
         SELECT shard, chunk,
-               flatten(list(piece ORDER BY strt)) AS tokens,
+               array_to_string(flatten(list(piece ORDER BY strt)), ' ') AS tokens,
                CAST(len(flatten(list(piece ORDER BY strt))) AS INT) AS n_tokens,
                CAST(count(*) AS INT) AS n_docs
         FROM pieces
