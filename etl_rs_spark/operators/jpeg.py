@@ -486,6 +486,14 @@ def _decode_scan(d, pos, sos, frame, qtables, dc_tables, ac_tables, ri):
                     for bx in range(hi):
                         block = p["coef"][my * vi + by, mx * hi + bx]
                         t = reader.decode_symbol(p["dc"])
+                        # T.81 F.1.2.1.1: baseline DC categories are
+                        # 0..11. A hostile DHT can map a code to any
+                        # 8-bit symbol; without this check t in 12..15
+                        # reads garbage magnitude bits and t > 16 only
+                        # failed by accident (negative-shift ValueError
+                        # inside receive) — validate by design instead.
+                        if t > 11:
+                            raise ValueError("JPEG DC category out of range")
                         diff = _extend(reader.receive(t), t) if t else 0
                         p["pred"] += diff
                         block[0] = p["pred"]

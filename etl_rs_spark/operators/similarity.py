@@ -416,33 +416,74 @@ def write_lsh_partitioned(
     faith — a mismatched n_planes would compute probe buckets in a
     different bucket space and silently return wrong/empty neighbors.
 
-    CONSTRAINT: the sidecar is written/read with local ``open()`` while
-    the data goes through Spark's writer — ``path`` must be a LOCAL
-    filesystem path (this repo's lakehouse design). For hdfs:// or
-    s3a:// layouts, route the sidecar through the Hadoop FS API or an
-    object-store client; the parquet side needs no change."""
-    import json
-    import os
-
+    The sidecar goes through the Hadoop FS API (same resolver as the
+    parquet writer), so ``path`` may be any scheme the session can
+    write — local, hdfs://, s3a://."""
     (
         df.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, dim))
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(path)
     )
-    with open(os.path.join(path, LSH_META_FILE), "w") as f:
-        json.dump({"n_planes": n_planes, "dim": dim, "vec_col": vec_col}, f)
+    _sidecar_write(
+        df.sparkSession, f"{path}/{LSH_META_FILE}",
+        {"n_planes": n_planes, "dim": dim, "vec_col": vec_col},
+    )
 
 
-def read_lsh_meta(path: str) -> dict | None:
+def read_lsh_meta(path: str, spark=None) -> dict | None:
+    """Load the ``_lsh_meta.json`` layout sidecar (None when absent).
+    Resolved through the Hadoop FS API of the active session so remote
+    schemes work; falls back to local ``open()`` when no session is
+    alive (driver-side tooling inspecting a local layout)."""
+    return _sidecar_read(spark, f"{path}/{LSH_META_FILE}")
+
+
+def _sidecar_write(spark, path_str: str, obj: dict) -> None:
+    """Write a small JSON sidecar THROUGH the Hadoop FileSystem of the
+    session (r4 ADVICE: local ``open()`` silently broke hdfs://s3a://
+    layouts while the parquet half succeeded). One create+write — these
+    are O(100 bytes) layout descriptors, never data."""
     import json
-    import os
 
-    meta_path = os.path.join(path, LSH_META_FILE)
-    if not os.path.exists(meta_path):
+    fs, hpath = _hadoop_fs(spark, path_str)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _sidecar_read(spark, path_str: str) -> dict | None:
+    import json
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is None:  # no JVM: local-path tooling fallback
+        import os
+
+        if not os.path.exists(path_str):
+            return None
+        with open(path_str) as f:
+            return json.load(f)
+    fs, hpath = _hadoop_fs(spark, path_str)
+    if not fs.exists(hpath):
         return None
-    with open(meta_path) as f:
-        return json.load(f)
+    ins = fs.open(hpath)
+    try:
+        baos = spark._jvm.java.io.ByteArrayOutputStream()
+        spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(ins, baos, 4096, False)
+        data = bytes(baos.toByteArray())
+    finally:
+        ins.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _hadoop_fs(spark, path_str: str):
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
 def lsh_topk_partitioned(
@@ -555,12 +596,8 @@ def write_ivf_partitioned(
     scanning the corpus — the same write-time contract as
     write_lsh_partitioned, with a data-adaptive partitioner. Returns
     the centroids (driver-side n_cells x dim ints, never O(corpus)).
-    Like its LSH twin, the ``_ivf_meta.json`` sidecar uses local
-    ``open()`` — ``path`` must be a local filesystem path (see
-    write_lsh_partitioned's CONSTRAINT note)."""
-    import json
-    import os
-
+    Like its LSH twin, the ``_ivf_meta.json`` sidecar goes through the
+    Hadoop FS API, so ``path`` may be any writable scheme."""
     cents = _train_integer_lloyds(corpus, n_cells, n_iters, id_col, vec_col)
     cent_df = _cent_frame(corpus.sparkSession, cents)
     assigned = _assign_cells(
@@ -571,12 +608,11 @@ def write_ivf_partitioned(
         .mode("overwrite")
         .parquet(path)
     )
-    with open(os.path.join(path, IVF_META_FILE), "w") as f:
-        json.dump(
-            {"n_cells": n_cells, "id_col": id_col, "vec_col": vec_col,
-             "centroids": cents},
-            f,
-        )
+    _sidecar_write(
+        corpus.sparkSession, f"{path}/{IVF_META_FILE}",
+        {"n_cells": n_cells, "id_col": id_col, "vec_col": vec_col,
+         "centroids": cents},
+    )
     return cents
 
 
@@ -593,11 +629,12 @@ def ivf_topk_partitioned(
     centroids (broadcast, O(n_cells) driver bytes) and pushed into the
     scan as a partition filter — only the probed cell directories are
     read. Results equal ivf_topk_exact with the same quantizer."""
-    import json
-    import os
-
-    with open(os.path.join(path, IVF_META_FILE)) as f:
-        meta = json.load(f)
+    meta = _sidecar_read(spark, f"{path}/{IVF_META_FILE}")
+    if meta is None:
+        raise ValueError(
+            f"no {IVF_META_FILE} sidecar at {path!r} — was the layout "
+            f"written by write_ivf_partitioned?"
+        )
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     cents = [[int(x) for x in c] for c in meta["centroids"]]
     cent_df = _cent_frame(spark, cents)

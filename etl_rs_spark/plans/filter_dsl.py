@@ -164,12 +164,18 @@ class ListOptions:
     def sort_columns(self) -> list[Column]:
         cols = []
         for ob in self.order_bys or []:
-            if not isinstance(ob, str) or not ob.lstrip("!"):
+            if not isinstance(ob, str):
+                raise FilterError(f"order_by entries must be column names, got {ob!r}")
+            # exactly ONE leading '!' means descending; '!!col' (or bare
+            # '!') is malformed and must raise the DSL's typed error, not
+            # surface later as a Spark AnalysisException on col('!col')
+            name = ob[1:] if ob.startswith("!") else ob
+            if not name or name.startswith("!"):
                 raise FilterError(f"order_by entries must be column names, got {ob!r}")
             if ob.startswith("!"):
-                cols.append(F.col(ob[1:]).desc())
+                cols.append(F.col(name).desc())
             else:
-                cols.append(F.col(ob).asc())
+                cols.append(F.col(name).asc())
         return cols
 
 

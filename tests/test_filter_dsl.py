@@ -126,6 +126,10 @@ def test_hostile_inputs_raise_typed_errors(tbl):
         list_query(tbl, None, ListOptions(order_bys=["!"])).count()
     with pytest.raises(FilterError, match="order_by entries"):
         list_query(tbl, None, ListOptions(order_bys=[None])).count()
+    # '!!col' passed the old lstrip('!') check but built F.col('!col'),
+    # failing later as an AnalysisException instead of the typed error
+    with pytest.raises(FilterError, match="order_by entries"):
+        list_query(tbl, None, ListOptions(order_bys=["!!score"])).count()
     # order_bys=None falls back to deterministic id ordering
     opts = ListOptions(limit=2, order_bys=None)
     assert [r["id"] for r in list_query(tbl, None, opts).collect()] == [1, 2]

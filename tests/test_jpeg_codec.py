@@ -247,6 +247,34 @@ def test_jpeg_rejects_hostile_sampling_factors():
         J.decode_jpeg(bytes(mixed))
 
 
+def test_jpeg_rejects_hostile_dc_category():
+    """A hostile DHT can map a Huffman code to any 8-bit symbol, but
+    T.81 F.1.2.1.1 caps baseline DC categories at 11. Symbols 12..15
+    used to silently read garbage magnitude bits and symbols > 16 only
+    failed via Python's negative-shift ValueError inside receive() —
+    both must now hit the explicit category check."""
+    good = J.encode_jpeg(_smooth(16, 16), quality=90)
+    for hostile_sym in (0x0F, 0x1F):
+        payload = bytearray(good)
+        at = 2
+        patched = False
+        while at + 4 <= len(payload):
+            if payload[at] != 0xFF:
+                break
+            marker = payload[at + 1]
+            (seglen,) = struct.unpack_from(">H", payload, at + 2)
+            if marker == 0xDA:
+                break
+            if marker == 0xC4 and (payload[at + 4] >> 4) == 0:  # Tc=0: DC
+                for i in range(at + 4 + 17, at + 2 + seglen):
+                    payload[i] = hostile_sym
+                patched = True
+            at += 2 + seglen
+        assert patched, "no DC DHT segment found to patch"
+        with pytest.raises(ValueError, match="DC category out of range"):
+            J.decode_jpeg(bytes(payload))
+
+
 def test_jpeg_decode_rejects_missing_tables():
     """A scan referencing a DQT/DHT id that was never defined must be a
     clean ValueError, not an IndexError/KeyError."""
