@@ -614,19 +614,31 @@ def q32_lang_id(spark, sf_dir):
     )
 
 
+#: q33 IVF operating point, shared by the contract query, its oracle,
+#: and the bench recall gate. r4 shipped (8 cells, 2 probes) = recall
+#: 0.80 with only 0.10 headroom over the gated floor; the r5 sweep
+#: (16, 4) measures 0.98 at the SAME probed-corpus fraction (4/16 =
+#: 2/8 = 0.25) and latency class — more, smaller cells localize the
+#: quantizer so each probe wastes less.
+Q33_CELLS = 16
+Q33_PROBE = 4
+Q33_ITERS = 2
+
+
 def q33_ivf_topk(spark, sf_dir):
     """IVF ANN (similarity.ivf_topk_exact): deterministic integer
-    Lloyd's coarse quantizer (2 iterations, 8 cells, ties to the lower
-    cell, floor-mean centroids), probe the 2 nearest cells, exact
-    cosine rank within. Every stage is exact integer arithmetic over
-    the quantized vectors, so the DuckDB oracle replays the k-means
-    itself (unrolled iterations) and matches bit-for-bit. The MLlib
-    variant (similarity.ivf_topk) remains the library path for real
-    clusters; its probe-all ≡ brute-force exactness is pinned in tests."""
+    Lloyd's coarse quantizer (Q33_ITERS iterations, Q33_CELLS cells,
+    ties to the lower cell, floor-mean centroids), probe the Q33_PROBE
+    nearest cells, exact cosine rank within. Every stage is exact
+    integer arithmetic over the quantized vectors, so the DuckDB oracle
+    replays the k-means itself (unrolled iterations) and matches
+    bit-for-bit. The MLlib variant (similarity.ivf_topk) remains the
+    library path for real clusters; its probe-all ≡ brute-force
+    exactness is pinned in tests."""
     qz = _quantized(spark, sf_dir)
     return SIM.ivf_topk_exact(
-        qz.filter(F.col("vec_id") < 10), qz, k=5, n_cells=8, n_probe=2,
-        iters=2, id_col="vec_id", vec_col="qv",
+        qz.filter(F.col("vec_id") < 10), qz, k=5, n_cells=Q33_CELLS,
+        n_probe=Q33_PROBE, iters=Q33_ITERS, id_col="vec_id", vec_col="qv",
     )
 
 
@@ -1589,7 +1601,9 @@ def oracle_sql() -> dict[str, str]:
         FROM norm GROUP BY civilite
     """
 
-    sql["q33_ivf_topk"] = _q33_oracle_sql()
+    sql["q33_ivf_topk"] = _q33_oracle_sql(
+        n_cells=Q33_CELLS, iters=Q33_ITERS, n_probe=Q33_PROBE
+    )
 
     # q34: concat-and-chunk packing — cumulative-offset window + slices.
     # SUM(BIGINT) widens to HUGEINT in DuckDB, hence the CAST on strt.

@@ -137,10 +137,11 @@ def bench_q19_realistic(spark, sf_dir: str) -> float:
 #: (round-3 verdict: the single-band config silently shipped 0.045
 #: recall — a knob change must never trade recall silently again)
 Q27_RECALL_FLOOR = 0.9
-#: q33's IVF@2-probe has measured 0.80 across rounds; the floor sits a
-#: step below so machine variance passes but a real probe/centroid
-#: regression fails the bench
-Q33_RECALL_FLOOR = 0.7
+#: q33's IVF at the r5 operating point (Q33_CELLS=16, Q33_PROBE=4 —
+#: same 0.25 probed fraction as r4's 8/2, recall 0.80 -> 0.98 measured)
+#: gates at 0.85: a step below measured so variance passes, but far
+#: above anything a probe/centroid regression could sneak past
+Q33_RECALL_FLOOR = 0.85
 
 
 def bench_ann_recall(spark, sf_dir: str) -> dict[str, float]:
@@ -158,7 +159,7 @@ def bench_ann_recall(spark, sf_dir: str) -> dict[str, float]:
       bucket hashing can't silently trade recall;
     - the single-band number of the same planes-per-band, quantifying
       what the derivation buys (~0.2 -> ~0.95);
-    - q33's IVF (2-probe integer Lloyd's) vs exact cosine_topk at the
+    - q33's IVF (integer Lloyd's at the shared Q33 operating point) vs exact cosine_topk at the
       main sf (10 queries — the exact side is linear, not quadratic).
     """
     qz01 = entry._quantized(spark, SMALL_SF_DIR)
@@ -196,14 +197,14 @@ def bench_ann_recall(spark, sf_dir: str) -> dict[str, float]:
     qz = entry._quantized(spark, sf_dir)
     queries = qz.filter(F.col("vec_id") < 10)
     ivf = SIM.ivf_topk_exact(
-        queries, qz, k=5, n_cells=8, n_probe=2, iters=2,
-        id_col="vec_id", vec_col="qv",
+        queries, qz, k=5, n_cells=entry.Q33_CELLS, n_probe=entry.Q33_PROBE,
+        iters=entry.Q33_ITERS, id_col="vec_id", vec_col="qv",
     )
     brute = SIM.cosine_topk(queries, qz, k=5, id_col="vec_id", vec_col="qv")
     r33 = round(SIM.ann_recall(ivf, brute), 4)
     if r33 < Q33_RECALL_FLOOR:
         raise RuntimeError(
-            f"q33 IVF@2-probe recall {r33} fell below the gated floor "
+            f"q33 IVF recall {r33} fell below the gated floor "
             f"{Q33_RECALL_FLOOR} — a knob change in the Lloyd's/probe "
             f"path traded recall; fix before shipping this bench"
         )
@@ -235,6 +236,78 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             lambda: force(qs[name](spark, SMALL_SF_DIR))
         )
     return times
+
+
+def no_jvm_calibration(cpus: int) -> dict:
+    """Machine-phase calibration with NO Spark in the loop (r4 verdict:
+    the replay headline swung -48% on a code-identical path, so the
+    bench must carry its own phase evidence): the same pure-CPU and
+    memory-stream microbenchmarks jobs/scaling_bench.py uses for the
+    scaling ceilings, at the bench's parallelism. The headline is
+    trustworthy only RELATIVE to these — events_per_sec_merge x
+    mem_stream_sec should hold steady across rounds even when the raw
+    headline swings with host phase."""
+    from multiprocessing import Pool
+
+    from jobs.scaling_bench import _burn, _stream
+
+    out: dict[str, float] = {}
+    for name, fn, arg in (
+        ("cpu_burn", _burn, 3_000_000),
+        ("mem_stream", _stream, 8_000_000),
+    ):
+        t0 = time.monotonic()
+        with Pool(min(int(cpus), 32)) as pool:
+            pool.map(fn, [arg] * 32)
+        out[f"{name}_sec"] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def _phase_probe(spark) -> float:
+    """Fixed tiny Spark reference job interleaved between replay reps:
+    its dispersion across the bench run measures the host phase AT
+    replay time (the no-JVM calibration brackets the run; this brackets
+    each rep), independent of any engine change."""
+    t0 = time.monotonic()
+    force(
+        spark.range(0, 20_000_000, 1, 32).select(
+            F.sum(F.col("id") % 7).alias("s")
+        )
+    )
+    return round(time.monotonic() - t0, 3)
+
+
+def bench_corpus_prep(spark, sf_dir: str) -> dict:
+    """The composed training-corpus pipeline (jobs/corpus_prep.
+    prep_corpus) timed as ONE job — exact dedup -> n-gram near-dup
+    survivors -> decontaminate -> mix -> pack -> partitioned parquet
+    write. The per-operator medians (q17/q21/q35/q36/q34) already gate
+    each stage; this is the end-to-end number a user planning a corpus
+    run actually needs (r4 verdict item 4)."""
+    from jobs.corpus_prep import prep_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+
+    def run() -> None:
+        out = tempfile.mkdtemp(prefix="bench_pack_")
+        try:
+            packed = prep_corpus(
+                train, probes, {"src0": 2.0, "src1": 0.5, "src5": 1.25},
+                max_len=2048, shards=64, jaccard=0.8,
+            )
+            packed.write.mode("overwrite").partitionBy("shard").parquet(out)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    sec = _median_timed(run)
+    return {
+        "corpus_prep_sec": sec,
+        "corpus_prep_docs": n_docs,
+        "corpus_prep_docs_per_sec": round(n_docs / sec, 1),
+    }
 
 
 def materialize_binlog(spark, tmp: str) -> str:
@@ -285,20 +358,29 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="etl-rs-spark-bench", master=f"local[{cpus}]")
     try:
+        calib_pre = no_jvm_calibration(int(cpus))
         queries = bench_queries(spark, sf_dir)
         ann_recall = bench_ann_recall(spark, sf_dir)
+        corpus_prep = bench_corpus_prep(spark, sf_dir)
         # best-of-3 over ONE stored binlog: single runs on this VM
-        # vary +-2x with machine phase
+        # vary +-2x with machine phase; the interleaved phase probes
+        # record what the host was doing at each rep
         binlog_tmp = tempfile.mkdtemp(prefix="bench_binlog_")
+        phase_probes: list[float] = []
         try:
             binlog = materialize_binlog(spark, binlog_tmp)
+            phase_probes.append(_phase_probe(spark))
             replay = bench_replay(spark, binlog)
             for _ in range(2):
+                phase_probes.append(_phase_probe(spark))
                 again = bench_replay(spark, binlog)
                 if again["events_per_sec_merge"] > replay["events_per_sec_merge"]:
                     replay = again
+            phase_probes.append(_phase_probe(spark))
         finally:
             shutil.rmtree(binlog_tmp, ignore_errors=True)
+        calib_post = no_jvm_calibration(int(cpus))
+        mem_sec = (calib_pre["mem_stream_sec"] + calib_post["mem_stream_sec"]) / 2
         out = {
             "metric": "cdc_replay_events_per_sec",
             "value": replay["events_per_sec_merge"],
@@ -309,7 +391,17 @@ def main() -> None:
             "sf": sf,
             "total_query_sec": round(sum(queries.values()), 3),
             "ann_recall": ann_recall,
+            **corpus_prep,
             **replay,
+            # phase self-diagnosis: compare headline_x_mem_stream across
+            # rounds, not the raw headline — the product divides out the
+            # host's memory-bandwidth phase the calibration measures
+            "calibration": {"pre": calib_pre, "post": calib_post},
+            "phase_probe_sec": phase_probes,
+            "phase_dispersion": round(max(phase_probes) / min(phase_probes), 3),
+            "headline_x_mem_stream": round(
+                replay["events_per_sec_merge"] * mem_sec, 1
+            ),
             "cpus": int(cpus),
         }
         print(json.dumps(out))

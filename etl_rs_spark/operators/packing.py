@@ -40,6 +40,17 @@ Distribution model (the 100 TB story):
   join shuffle — same payload bytes moved, more stages; measured
   unprofitable on the replay LWW path (BENCH/BASELINE.md), so not
   offered here.
+
+Streaming / CDC contract — REPACK PER SNAPSHOT: chunk identity is a
+function of the whole shard's concatenation order, so ONE late change
+event shifts every downstream chunk boundary in its shard. Packing
+incrementally per micro-batch would freeze windows the next event
+invalidates; instead the CDC replay engine maintains the token table
+incrementally (exactly-once upserts) and mix->pack runs over a
+committed SNAPSHOT — any snapshot, reproducibly (time travel included).
+tests/test_pipeline_compose.py::test_streaming_snapshot_mix_pack_equals_batch
+pins the equality this rests on: streaming and bulk replay of the same
+binlog yield identical snapshots, hence bit-identical packed output.
 """
 
 from __future__ import annotations

@@ -51,6 +51,87 @@ from etl_rs_spark.operators.packing import pack_sequences
 from etl_rs_spark.session import get_spark
 
 
+def prep_corpus(
+    docs,
+    probes=None,
+    weights: dict[str, float] | None = None,
+    *,
+    max_len: int = 2048,
+    shards: int = 64,
+    vocab: int = 50257,
+    jaccard: float = 0.8,
+    decon_ngram: int = 3,
+    decon_overlap: int = 1,
+    default_weight: float = 1.0,
+    sep_token: int | None = None,
+    on_stage=None,
+):
+    """Library form of the pipeline: documents DataFrame in, packed
+    (shard, chunk, tokens, ...) DataFrame out — exact dedup -> near-dup
+    survivor filter -> decontaminate -> mix -> pack, each stage the same
+    operator the contract queries gate. ``on_stage(name, df)`` is an
+    optional observer (the CLI uses it for per-stage row counts; it may
+    return the count, which the near-dup stop-shingle cap then reuses
+    instead of recounting). The returned plan is LAZY — the caller
+    decides the action (write, count, collect)."""
+
+    def note(name, df):
+        n = on_stage(name, df) if on_stage else None
+        return n if (n is not None and n >= 0) else None
+
+    note("input", docs)
+
+    # 1. exact dedup: digest-keyed survivors, content never shuffled
+    survivors = DS.dedup_digest_stats(docs, ["text"]).select("doc_id")
+    docs = docs.join(survivors, "doc_id", "left_semi")
+    n_exact = note("exact_dedup", docs)
+
+    # 2. near-dup groups -> keep one survivor per cluster
+    if jaccard > 0:
+        # the stop-shingle cap scales with corpus size — counted even
+        # when no observer runs (the cap is semantics, not metrics)
+        n_for_cap = n_exact if n_exact is not None else docs.count()
+        wi = DS.doc_word_ids_hashed(docs, extra_cols=("lang",))
+        edges = DS.ngram_jaccard_pairs(
+            wi, blocking_col="lang", n=3, threshold=jaccard,
+            max_doc_freq=max(64, n_for_cap // 100),
+        )
+        drops = dedup_survivors(edges).filter(~F.col("is_survivor")).select(
+            F.col("node").alias("doc_id")
+        )
+        docs = docs.join(drops, "doc_id", "left_anti")
+        note("near_dedup", docs)
+
+    # 3. decontamination against the probe corpus
+    wi = DS.doc_word_ids_hashed(docs, extra_cols=("source",))
+    if probes is not None:
+        probe_ids = DS.doc_word_ids_hashed(probes)
+        wi = DS.decontaminate(
+            wi, probe_ids, n=decon_ngram,
+            min_overlap=decon_overlap, mode="filter",
+        )
+        note("decontaminate", wi)
+
+    # 4. mixing (skipped when no weights given)
+    if weights:
+        mixed = mix_sample(wi, weights, default_weight=default_weight)
+    else:
+        mixed = wi.withColumn("replica", F.lit(0))
+    note("mix", mixed)
+
+    # 5. pack
+    toks = mixed.select(
+        "doc_id", "replica",
+        F.transform(
+            F.col("word_ids"), lambda w: (w % F.lit(vocab)).cast("int")
+        ).alias("tokens"),
+    )
+    return pack_sequences(
+        toks, max_len, id_col=("doc_id", "replica"),
+        n_shards=shards, sep_token=sep_token,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", required=True, help="documents parquet path")
@@ -96,74 +177,29 @@ def main() -> None:
     )
     metrics: dict = {"metric": "corpus_prep", "stages": {}}
     t0 = time.perf_counter()
+    last = [t0]
 
-    def stage(name: str, df, since: float) -> int:
+    def stage(name: str, df) -> int:
         if args.no_stage_counts:
             return -1
         n = df.count()
         metrics["stages"][name] = {
-            "rows": n, "sec": round(time.perf_counter() - since, 2),
+            "rows": n, "sec": round(time.perf_counter() - last[0], 2),
         }
+        last[0] = time.perf_counter()
         return n
 
     docs = spark.read.parquet(args.docs)
-    n_in = stage("input", docs, t0)
-
-    # 1. exact dedup: digest-keyed survivors, content never shuffled
-    t = time.perf_counter()
-    survivors = DS.dedup_digest_stats(docs, ["text"]).select("doc_id")
-    docs = docs.join(survivors, "doc_id", "left_semi")
-    n_exact = stage("exact_dedup", docs, t)
-
-    # 2. near-dup groups -> keep one survivor per cluster
-    if args.jaccard > 0:
-        t = time.perf_counter()
-        # the stop-shingle cap scales with corpus size — counted HERE
-        # regardless of --no-stage-counts (that flag is metrics-only and
-        # must never change the dedup result)
-        n_for_cap = n_exact if n_exact >= 0 else docs.count()
-        wi = DS.doc_word_ids_hashed(docs, extra_cols=("lang",))
-        edges = DS.ngram_jaccard_pairs(
-            wi, blocking_col="lang", n=3, threshold=args.jaccard,
-            max_doc_freq=max(64, n_for_cap // 100),
-        )
-        drops = dedup_survivors(edges).filter(~F.col("is_survivor")).select(
-            F.col("node").alias("doc_id")
-        )
-        docs = docs.join(drops, "doc_id", "left_anti")
-        stage("near_dedup", docs, t)
-
-    # 3. decontamination against the probe corpus
-    wi = DS.doc_word_ids_hashed(docs, extra_cols=("source",))
-    if args.probes:
-        t = time.perf_counter()
-        probe_ids = DS.doc_word_ids_hashed(spark.read.parquet(args.probes))
-        wi = DS.decontaminate(
-            wi, probe_ids, n=args.decon_ngram,
-            min_overlap=args.decon_overlap, mode="filter",
-        )
-        stage("decontaminate", wi, t)
-
-    # 4. mixing (skipped when no weights given)
-    t = time.perf_counter()
-    if weights:
-        mixed = mix_sample(wi, weights, default_weight=args.default_weight)
-    else:
-        mixed = wi.withColumn("replica", F.lit(0))
-    stage("mix", mixed, t)
-
-    # 5. pack and write
-    t = time.perf_counter()
-    toks = mixed.select(
-        "doc_id", "replica",
-        F.transform(
-            F.col("word_ids"), lambda w: (w % F.lit(args.vocab)).cast("int")
-        ).alias("tokens"),
+    probes = spark.read.parquet(args.probes) if args.probes else None
+    packed = prep_corpus(
+        docs, probes, weights,
+        max_len=args.max_len, shards=args.shards, vocab=args.vocab,
+        jaccard=args.jaccard, decon_ngram=args.decon_ngram,
+        decon_overlap=args.decon_overlap,
+        default_weight=args.default_weight, sep_token=args.sep_token,
+        on_stage=stage,
     )
-    packed = pack_sequences(
-        toks, args.max_len, id_col=("doc_id", "replica"),
-        n_shards=args.shards, sep_token=args.sep_token,
-    )
+    n_in = metrics["stages"].get("input", {}).get("rows", -1)
     # stats ride the write via observe — one pass, and an EMPTY result
     # (e.g. an over-aggressive probe set dropped everything) still
     # reports 0 chunks instead of crashing on an unreadable empty dir
@@ -178,10 +214,11 @@ def main() -> None:
             F.sum((F.col("n_tokens") == args.max_len).cast("int")), F.lit(0)
         ).alias("full_chunks"),
     )
+    t_write = time.perf_counter()
     packed.write.mode("overwrite").partitionBy("shard").parquet(args.out)
     agg = obs.get
     metrics["stages"]["pack_write"] = {
-        "rows": int(agg["chunks"]), "sec": round(time.perf_counter() - t, 2),
+        "rows": int(agg["chunks"]), "sec": round(time.perf_counter() - t_write, 2),
     }
     if not args.no_stage_counts:
         metrics["docs_in"] = n_in

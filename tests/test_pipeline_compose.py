@@ -184,3 +184,66 @@ def test_full_training_pipeline_composes(spark):
     assert not {4, 5} <= ids_after and 3 in ids_after     # near-dup chain folded
     assert 6 not in ids_after                             # contaminated dropped
     assert 10 in ids_after                                # other-lang near-dup kept
+
+
+def test_streaming_snapshot_mix_pack_equals_batch(spark, tmp_path):
+    """Streaming mix->pack parity (repack-per-snapshot contract).
+
+    Packing is NOT incremental: chunk identity depends on the global
+    concatenation order within a shard, so one late change event shifts
+    every downstream chunk boundary in its shard — freezing chunks per
+    micro-batch would emit windows the next event invalidates. The
+    shipped contract is therefore REPACK PER SNAPSHOT: the CDC replay
+    maintains the upsert table incrementally (exactly-once), and
+    mix->pack runs over any committed snapshot. This pins the equality
+    that contract rests on: streaming replay (many micro-batches) and
+    bulk batch replay of the same binlog produce identical snapshots,
+    hence bit-identical mix->pack output."""
+    from etl_rs_spark.sinks.lakehouse import LakehouseTable
+    from etl_rs_spark.sources.binlog import BinlogSpec, gen_events, write_segments
+    from etl_rs_spark.streaming.replay import (
+        ReplayConfig,
+        process_batch,
+        replay_stream,
+    )
+
+    spec = BinlogSpec(
+        n_events=1200, n_docs=100, n_partitions=4, vocab=500,
+        tokens_max=12, seed=7,
+    )
+    cfg = ReplayConfig(vocab=500, max_len=32)
+    path = str(tmp_path / "binlog")
+    df = gen_events(spark, spec)
+    write_segments(df, path, n_segments=4, max_lsn=spec.n_events)
+
+    def snapshot_pack(table):
+        state = table.read().select("doc_id", "tokens", "source")
+        mixed = mix_sample(state, {"web": 2.0, "books": 0.5, "code": 1.0}, seed=SEED)
+        packed = pack_sequences(
+            mixed, MAX_LEN, id_col=("doc_id", "replica"), n_shards=4,
+            shard_expr=F.pmod(F.xxhash64("doc_id"), F.lit(4)),
+        )
+        return {
+            (r["shard"], r["chunk"]): (tuple(r["tokens"]), r["n_tokens"], r["n_docs"])
+            for r in packed.collect()
+        }
+
+    # batch: the whole binlog as ONE process_batch merge
+    t_batch = LakehouseTable(spark, str(tmp_path / "t_batch"), n_buckets=8)
+    process_batch(
+        t_batch, spark.read.option("mergeSchema", True).parquet(f"{path}/seg-*"),
+        "bulk", cfg=cfg,
+    )
+    # streaming: the same binlog through foreachBatch micro-batches
+    t_stream = LakehouseTable(spark, str(tmp_path / "t_stream"), n_buckets=8)
+    schema = spark.read.parquet(f"{path}/seg-00000").schema
+    q = replay_stream(
+        spark, t_stream, f"{path}/seg-*", str(tmp_path / "ckpt"), schema,
+        cfg=cfg, max_files_per_trigger=3,
+    )
+    q.awaitTermination(300)
+
+    got_stream = snapshot_pack(t_stream)
+    got_batch = snapshot_pack(t_batch)
+    assert got_stream == got_batch
+    assert len(got_batch) > 0
