@@ -57,6 +57,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
 from pyspark.sql.window import Window
 
 
@@ -99,12 +100,36 @@ def pack_sequences(
     Determinism: output is a pure function of the input rows —
     independent of partitioning, task order, or cluster size.
     """
+    staged, ids = _staged_docs(
+        df, max_len, tokens_col, id_col, n_shards, sep_token, shard_expr
+    )
+    # running offset of each doc inside its shard's concatenated stream
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(*ids)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = staged.withColumn("_start", F.coalesce(F.sum("_ln").over(w), F.lit(0)))
+    return _assemble_chunks(off.withColumn("_nd", F.lit(1)), max_len)
+
+
+def _staged_docs(
+    df: DataFrame,
+    max_len: int,
+    tokens_col: str,
+    id_col: str | tuple[str, ...],
+    n_shards: int,
+    sep_token: int | None,
+    shard_expr: Column | None,
+):
+    """Validate + stage: one run row (*ids, shard, _tk, _ln) per
+    non-empty document. Shared by pack_sequences and pack_tail so both
+    paths shard, separate, and filter identically."""
     if max_len <= 0:
         raise ValueError(f"max_len must be positive, got {max_len}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     ids = [id_col] if isinstance(id_col, str) else list(id_col)
-    L = F.lit(int(max_len)).cast("bigint")
 
     toks = F.col(tokens_col)
     if sep_token is not None:
@@ -129,30 +154,36 @@ def pack_sequences(
         toks.alias("_tk"),
         F.size(toks).cast("bigint").alias("_ln"),
     ).filter(F.col("_ln") > 0)
+    return staged, ids
 
-    # running offset of each doc inside its shard's concatenated stream
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(*ids)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    off = staged.withColumn("_start", F.coalesce(F.sum("_ln").over(w), F.lit(0)))
+
+def _assemble_chunks(off: DataFrame, max_len: int) -> DataFrame:
+    """Shared chunk assembly: rows (shard, _start, _ln, _tk, _nd) —
+    each a token run placed at global offset ``_start`` of its shard's
+    stream, carrying ``_nd`` source documents (1 for a real doc; the
+    carry run in pack_tail counts the documents folded into it) —
+    sliced into ``max_len`` windows and flattened per (shard, chunk).
+    ``shard`` is a subset of the grouping keys, so the groupBy reuses
+    whatever shard-hash partitioning produced ``_start`` (plan-gated:
+    one exchange total in pack_sequences)."""
+    L = F.lit(int(max_len)).cast("bigint")
     off = off.withColumn("_fin", F.col("_start") + F.col("_ln"))
 
-    # chunks this doc spans: floor(start/L) .. floor((fin-1)/L). _ln > 0
+    # chunks this run spans: floor(start/L) .. floor((fin-1)/L). _ln > 0
     # guarantees the range is non-empty — F.sequence with hi < lo would
-    # COUNT BACKWARDS, so the filter above is load-bearing.
+    # COUNT BACKWARDS, so upstream's empty-run filter is load-bearing.
     spans = off.select(
         "shard",
         "_start",
         "_fin",
         "_tk",
+        "_nd",
         F.expr(f"sequence(_start div {int(max_len)}, (_fin - 1) div {int(max_len)})").alias(
             "_chunks"
         ),
     )
 
-    # per-(doc, chunk) slice, in LOCAL 1-based positions: the piece's
+    # per-(run, chunk) slice, in LOCAL 1-based positions: the piece's
     # global range is [max(start, c*L), min(fin, (c+1)*L))
     def _piece(c: Column) -> Column:
         g0 = F.greatest(F.col("_start"), c * L)
@@ -172,19 +203,20 @@ def pack_sequences(
         spans.select(
             "shard",
             "_start",
+            "_nd",
             F.explode_outer(F.transform(F.col("_chunks"), _piece)).alias("_cp"),
         )
         .filter(F.col("_cp").isNotNull())
-        .select("shard", "_start", F.col("_cp.chunk").alias("chunk"), F.col("_cp.piece").alias("_piece"))
+        .select("shard", "_start", "_nd", F.col("_cp.chunk").alias("chunk"), F.col("_cp.piece").alias("_piece"))
     )
 
-    # assemble each window: pieces ordered by their doc's start offset
+    # assemble each window: pieces ordered by their run's start offset
     # (unique within a chunk), then flattened
     asm = (
         pieces.groupBy("shard", "chunk")
         .agg(
             F.array_sort(F.collect_list(F.struct("_start", "_piece"))).alias("_sp"),
-            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("_nd").cast("int").alias("n_docs"),
         )
         .withColumn("tokens", F.flatten(F.col("_sp._piece")))
     )
@@ -195,3 +227,99 @@ def pack_sequences(
         F.size("tokens").alias("n_tokens"),
         "n_docs",
     )
+
+
+def pack_state(packed: DataFrame, max_len: int) -> DataFrame:
+    """Per-shard committed packing state, derived from a packed output
+    (or any committed snapshot of one): ``shard``, ``base`` (total
+    tokens packed so far — the next token's global offset), ``carry``
+    (the tokens of the final PARTIAL chunk; empty when the shard ended
+    exactly on a ``max_len`` boundary) and ``carry_docs`` (documents
+    contributing to that partial chunk). O(n_shards) rows — this is the
+    ONLY state incremental packing needs, never the corpus."""
+    if max_len <= 0:
+        raise ValueError(f"max_len must be positive, got {max_len}")
+    st = packed.groupBy("shard").agg(
+        F.sum("n_tokens").cast("bigint").alias("base"),
+        F.max_by(F.struct("tokens", "n_tokens", "n_docs"), "chunk").alias("_last"),
+    )
+    partial = F.col("_last.n_tokens") < F.lit(int(max_len))
+    return st.select(
+        "shard",
+        "base",
+        # slice(x, 1, 0) = empty array of the RIGHT element type
+        F.when(partial, F.col("_last.tokens"))
+        .otherwise(F.slice(F.col("_last.tokens"), 1, 0))
+        .alias("carry"),
+        F.when(partial, F.col("_last.n_docs")).otherwise(F.lit(0))
+        .cast("int")
+        .alias("carry_docs"),
+    )
+
+
+def pack_tail(
+    df: DataFrame,
+    state: DataFrame,
+    max_len: int,
+    tokens_col: str = "tokens",
+    id_col: str | tuple[str, ...] = "doc_id",
+    n_shards: int = 32,
+    sep_token: int | None = None,
+    shard_expr: Column | None = None,
+) -> DataFrame:
+    """Incremental packing for APPEND-ONLY corpora: pack only the new
+    documents ``df``, continuing each shard's committed stream from
+    ``state`` (a ``pack_state`` frame). Emits every chunk the new
+    tokens touch — per shard that is the previously-partial boundary
+    chunk COMPLETED (same ``chunk`` id, now longer) plus the new chunks
+    after it — so the caller upserts by ``(shard, chunk)``: all earlier
+    chunks are immutable. Exactly-once composition: MERGE the emitted
+    rows into the packed table keyed on (shard, chunk), exactly like
+    the CDC upsert path.
+
+    Invariant (pinned in tests/test_packing.py): for any split of an
+    append-only corpus into prefix + suffix by ascending id,
+    ``upsert(pack_sequences(prefix), pack_tail(suffix, state(prefix)))``
+    equals ``pack_sequences(prefix + suffix)`` bit-for-bit, including
+    ``n_docs`` (the carry run carries its folded document count).
+
+    CONTRACT — append-only and ordered: every new id must sort AFTER
+    all committed ids of its shard (true for monotonically assigned
+    doc_ids), ``max_len``/``n_shards``/``sep_token``/``shard_expr``
+    must equal the values the committed chunks were packed with, and
+    updates/deletes of committed docs are out of scope (those shift
+    committed chunk boundaries — use the REPACK PER SNAPSHOT contract
+    above). A shard present in ``state`` with no new documents re-emits
+    its boundary chunk unchanged (idempotent under upsert)."""
+    staged, ids = _staged_docs(
+        df, max_len, tokens_col, id_col, n_shards, sep_token, shard_expr
+    )
+    st = state.select("shard", "base", "carry", "carry_docs")
+
+    # per-shard base offsets ride a broadcast join (O(n_shards) rows);
+    # the window is the same single shard-hash shuffle as pack_sequences
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(*ids)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_runs = (
+        staged.withColumn("_w", F.coalesce(F.sum("_ln").over(w), F.lit(0)))
+        .join(F.broadcast(st.select("shard", "base")), "shard", "left")
+        .select(
+            "shard",
+            (F.coalesce(F.col("base"), F.lit(0)) + F.col("_w")).alias("_start"),
+            "_ln",
+            "_tk",
+            F.lit(1).alias("_nd"),
+        )
+    )
+    elem = df.schema[tokens_col].dataType.elementType
+    carry_runs = st.filter(F.size("carry") > 0).select(
+        "shard",
+        (F.col("base") - F.size("carry").cast("bigint")).alias("_start"),
+        F.size("carry").cast("bigint").alias("_ln"),
+        F.col("carry").cast(ArrayType(elem)).alias("_tk"),
+        F.col("carry_docs").alias("_nd"),
+    )
+    return _assemble_chunks(new_runs.unionByName(carry_runs), max_len)

@@ -189,3 +189,75 @@ def test_pack_custom_shard_expr(spark):
     rows = out.collect()
     assert sum(r["n_tokens"] for r in rows) == sum(len(t) for _, t in docs)
     assert set(r["shard"] for r in rows) <= {0, 1, 2, 3}
+
+
+def _upsert(prefix_chunks: dict, tail_chunks: dict) -> dict:
+    out = dict(prefix_chunks)
+    out.update(tail_chunks)
+    return out
+
+
+@pytest.mark.parametrize(
+    "L,ns,sep,split",
+    [
+        (64, 4, None, 150),
+        (64, 4, 50256, 150),
+        (7, 8, None, 17),     # boundary chunk almost always partial
+        (7, 8, None, 299),    # single-doc tail
+        (64, 4, None, 0),     # empty prefix: tail == full pack
+        (64, 4, None, 300),   # empty tail: boundary chunks re-emitted
+    ],
+)
+def test_pack_tail_upsert_equals_full_repack(spark, corpus, L, ns, sep, split):
+    """The incremental-append invariant: pack the prefix, derive the
+    O(n_shards) pack_state, pack ONLY the suffix with pack_tail, upsert
+    by (shard, chunk) — bit-identical to packing the whole corpus,
+    including n_docs on the completed boundary chunks."""
+    from etl_rs_spark.operators.packing import pack_state, pack_tail
+
+    docs, df = corpus
+    pre_df = df.filter(F.col("doc_id") < split)
+    tail_df = df.filter(F.col("doc_id") >= split)
+
+    pre = pack_sequences(pre_df, L, n_shards=ns, sep_token=sep)
+    state = pack_state(pre, L)
+    tail = pack_tail(tail_df, state, L, n_shards=ns, sep_token=sep)
+
+    def as_dict(chunks_df):
+        return {
+            (r["shard"], r["chunk"]): (tuple(r["tokens"]), r["n_tokens"], r["n_docs"])
+            for r in chunks_df.collect()
+        }
+
+    got = _upsert(as_dict(pre), as_dict(tail))
+    assert got == _py_pack(docs, L, ns, sep)
+    # tail must not touch committed interior chunks: everything it
+    # emits is at or after each shard's boundary chunk
+    pre_d = as_dict(pre)
+    boundary = {}
+    for (s, c) in pre_d:
+        boundary[s] = max(boundary.get(s, -1), c)
+    for (s, c) in as_dict(tail):
+        assert c >= boundary.get(s, 0)
+
+
+def test_pack_state_shape(spark, corpus):
+    """pack_state is O(n_shards): base = total tokens, carry = the
+    partial boundary chunk's tokens (empty on an exact boundary)."""
+    from etl_rs_spark.operators.packing import pack_state
+
+    _, df = corpus
+    packed = pack_sequences(df, 64, n_shards=4)
+    st = {r["shard"]: r for r in pack_state(packed, 64).collect()}
+    totals = {
+        r["shard"]: (r["base"], r["mx"])
+        for r in packed.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("base"), F.max("chunk").alias("mx"))
+        .collect()
+    }
+    assert set(st) == set(totals)
+    for s, r in st.items():
+        base, _ = totals[s]
+        assert r["base"] == base
+        assert len(r["carry"]) == (base % 64 if base % 64 else 0)
+        assert (r["carry_docs"] > 0) == (base % 64 != 0)
