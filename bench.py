@@ -369,6 +369,9 @@ def main() -> None:
         phase_probes: list[float] = []
         try:
             binlog = materialize_binlog(spark, binlog_tmp)
+            _phase_probe(spark)  # warm: the probe job's codegen lands
+            # here, not in probe[0] (a cold first probe read 3.4x the
+            # warm ones and masqueraded as phase dispersion)
             phase_probes.append(_phase_probe(spark))
             replay = bench_replay(spark, binlog)
             for _ in range(2):
