@@ -672,6 +672,46 @@ def q34_pack_sequences(spark, sf_dir):
     )
 
 
+#: q38: doc_id < 300 plays the already-committed prefix; the rest is
+#: the append-only tail arriving later. Same tokenization/shape as q34.
+Q38_SPLIT = 300
+
+
+def q38_pack_tail(spark, sf_dir):
+    """Incremental tail packing (packing.pack_tail): the prefix corpus
+    (doc_id < Q38_SPLIT) is packed and reduced to O(n_shards) committed
+    state (pack_state: base offset + boundary-chunk carry); the suffix
+    is then packed ALONE, continuing each shard's stream — emitting only
+    each shard's boundary chunk (completed) plus the chunks after it,
+    upsert-keyed by (shard, chunk). The DuckDB oracle exploits the
+    operator's invariant (upsert(prefix, tail) == full repack): it packs
+    the FULL corpus with q34's cumulative-offset machinery and keeps the
+    chunks at or after each shard's prefix boundary floor(base/L) —
+    exactly the tail-emitted set in every carry/no-carry case."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            TX.words("text"),
+            lambda w: (DS.word_hash60(w) % F.lit(50257)).cast("int"),
+        ).alias("tokens"),
+    )
+    pre = PK.pack_sequences(
+        toks.filter(F.col("doc_id") < Q38_SPLIT), max_len=128, n_shards=8
+    )
+    state = PK.pack_state(pre, 128)
+    tail = PK.pack_tail(
+        toks.filter(F.col("doc_id") >= Q38_SPLIT), state, 128, n_shards=8
+    )
+    return tail.select(
+        "shard",
+        "chunk",
+        F.array_join("tokens", " ").alias("tokens"),
+        "n_tokens",
+        "n_docs",
+    )
+
+
 def q35_decontaminate(spark, sf_dir):
     """Benchmark decontamination (dedup_scale.decontaminate): docs with
     doc_id % 97 == 0 play the held-out eval set; every other doc is
@@ -790,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_decontaminate": q35_decontaminate,
         "q36_mix_sample": q36_mix_sample,
         "q37_dedup_components": q37_dedup_components,
+        "q38_pack_tail": q38_pack_tail,
     }
 
 
@@ -1640,6 +1681,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS INT) AS n_docs
         FROM pieces
         GROUP BY shard, chunk
+    """
+
+    # q38: tail packing via the upsert invariant — the full q34-style
+    # pack filtered to chunks >= floor(prefix_base / L) per shard:
+    # that set equals what pack_tail emits in every case (partial
+    # boundary re-emitted + new chunks; exact-boundary prefix emits
+    # only new chunks; a shard with no new docs re-emits just its
+    # partial boundary, and with an exact boundary emits nothing).
+    sql["q38_pack_tail"] = rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                   w -> CAST((('0x' || substr(md5(w), 1, 15))::BIGINT % 50257) AS INT)) AS tk
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, tk,
+                 CAST(len(tk) AS BIGINT) AS ln
+          FROM toks WHERE len(tk) > 0
+        ), off AS (
+          SELECT doc_id, shard, tk, ln,
+                 CAST(COALESCE(SUM(ln) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+          FROM sh
+        ), spans AS (
+          SELECT shard, tk, strt, strt + ln AS fin,
+                 unnest(range(strt // 128, ((strt + ln - 1) // 128) + 1)) AS chunk
+          FROM off
+        ), pieces AS (
+          SELECT shard, chunk, strt,
+                 list_slice(tk, GREATEST(strt, chunk * 128) - strt + 1,
+                                LEAST(fin, (chunk + 1) * 128) - strt) AS piece
+          FROM spans
+        ), fullpack AS (
+          SELECT shard, chunk,
+                 array_to_string(flatten(list(piece ORDER BY strt)), ' ') AS tokens,
+                 CAST(len(flatten(list(piece ORDER BY strt))) AS INT) AS n_tokens,
+                 CAST(count(*) AS INT) AS n_docs
+          FROM pieces GROUP BY shard, chunk
+        ), prefix AS (
+          SELECT shard, CAST(SUM(ln) AS BIGINT) AS base
+          FROM sh WHERE doc_id < {Q38_SPLIT} GROUP BY shard
+        )
+        SELECT f.shard, f.chunk, f.tokens, f.n_tokens, f.n_docs
+        FROM fullpack f LEFT JOIN prefix p ON f.shard = p.shard
+        WHERE f.chunk >= COALESCE(p.base, 0) // 128
     """
 
     # q35: probe-shingle semi-match + per-doc hit counts. Same shingle
