@@ -683,11 +683,12 @@ def q38_pack_tail(spark, sf_dir):
     state (pack_state: base offset + boundary-chunk carry); the suffix
     is then packed ALONE, continuing each shard's stream — emitting only
     each shard's boundary chunk (completed) plus the chunks after it,
-    upsert-keyed by (shard, chunk). The DuckDB oracle exploits the
-    operator's invariant (upsert(prefix, tail) == full repack): it packs
-    the FULL corpus with q34's cumulative-offset machinery and keeps the
-    chunks at or after each shard's prefix boundary floor(base/L) —
-    exactly the tail-emitted set in every carry/no-carry case."""
+    upsert-keyed by (shard, chunk); a shard with no new docs emits
+    nothing. The DuckDB oracle exploits the operator's invariant
+    (upsert(prefix, tail) == full repack): it packs the FULL corpus
+    with q34's cumulative-offset machinery and keeps, for shards with
+    new docs, the chunks at or after the prefix boundary floor(base/L)
+    — exactly the tail-emitted set in every carry/no-carry case."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -1684,11 +1685,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # q38: tail packing via the upsert invariant — the full q34-style
-    # pack filtered to chunks >= floor(prefix_base / L) per shard:
-    # that set equals what pack_tail emits in every case (partial
-    # boundary re-emitted + new chunks; exact-boundary prefix emits
-    # only new chunks; a shard with no new docs re-emits just its
-    # partial boundary, and with an exact boundary emits nothing).
+    # pack restricted to shards WITH new docs and filtered to chunks
+    # >= floor(prefix_base / L): that set equals what pack_tail emits
+    # in every case (partial boundary completed + new chunks;
+    # exact-boundary prefix emits only new chunks; a shard with no new
+    # docs emits nothing).
     sql["q38_pack_tail"] = rf"""
         WITH toks AS (
           SELECT doc_id,
@@ -1724,9 +1725,13 @@ def oracle_sql() -> dict[str, str]:
         ), prefix AS (
           SELECT shard, CAST(SUM(ln) AS BIGINT) AS base
           FROM sh WHERE doc_id < {Q38_SPLIT} GROUP BY shard
+        ), newsh AS (
+          SELECT DISTINCT shard FROM sh WHERE doc_id >= {Q38_SPLIT}
         )
         SELECT f.shard, f.chunk, f.tokens, f.n_tokens, f.n_docs
-        FROM fullpack f LEFT JOIN prefix p ON f.shard = p.shard
+        FROM fullpack f
+        JOIN newsh n ON f.shard = n.shard
+        LEFT JOIN prefix p ON f.shard = p.shard
         WHERE f.chunk >= COALESCE(p.base, 0) // 128
     """
 

@@ -289,37 +289,75 @@ def pack_tail(
     must equal the values the committed chunks were packed with, and
     updates/deletes of committed docs are out of scope (those shift
     committed chunk boundaries — use the REPACK PER SNAPSHOT contract
-    above). A shard present in ``state`` with no new documents re-emits
-    its boundary chunk unchanged (idempotent under upsert)."""
+    above). A shard with no new documents emits nothing — its committed
+    chunks, boundary included, are already correct.
+
+    Plan: ONE shuffle over the new docs (the same shard window as
+    pack_sequences, whose partitioning the chunk groupBy reuses) plus a
+    broadcast of the O(n_shards) state. The carry is folded into each
+    shard's FIRST new run through the broadcast join rather than
+    unioned in as extra rows — a union would erase the window's
+    partitioning and force a second full shuffle of the tail
+    (plan-gated in tests/test_packing.py)."""
     staged, ids = _staged_docs(
         df, max_len, tokens_col, id_col, n_shards, sep_token, shard_expr
     )
-    st = state.select("shard", "base", "carry", "carry_docs")
+    elem = df.schema[tokens_col].dataType.elementType
+    st = state.select(
+        "shard",
+        F.col("base").cast("bigint").alias("_base"),
+        F.col("carry").cast(ArrayType(elem)).alias("_carry"),
+        F.col("carry_docs").alias("_cd"),
+    )
 
-    # per-shard base offsets ride a broadcast join (O(n_shards) rows);
-    # the window is the same single shard-hash shuffle as pack_sequences
+    # per-shard state rides a broadcast join (O(n_shards) rows); the
+    # window is the same single shard-hash shuffle as pack_sequences
     w = (
         Window.partitionBy("shard")
         .orderBy(*ids)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    new_runs = (
-        staged.withColumn("_w", F.coalesce(F.sum("_ln").over(w), F.lit(0)))
-        .join(F.broadcast(st.select("shard", "base")), "shard", "left")
-        .select(
-            "shard",
-            (F.coalesce(F.col("base"), F.lit(0)) + F.col("_w")).alias("_start"),
-            "_ln",
-            "_tk",
-            F.lit(1).alias("_nd"),
-        )
+    joined = staged.withColumn(
+        "_w", F.coalesce(F.sum("_ln").over(w), F.lit(0))
+    ).join(F.broadcast(st), "shard", "left")
+    # the shard's first new run absorbs the carried partial boundary
+    # chunk: its tokens are prepended and its start shifts back by the
+    # carry length. Its _nd stays 1 — the carried DOCUMENT count is
+    # added to the boundary chunk alone after assembly (folding it into
+    # the run would overcount every later chunk a straddling first doc
+    # spans).
+    first = (
+        (F.col("_w") == 0)
+        & F.col("_carry").isNotNull()
+        & (F.size("_carry") > 0)
     )
-    elem = df.schema[tokens_col].dataType.elementType
-    carry_runs = st.filter(F.size("carry") > 0).select(
+    clen = F.when(first, F.size("_carry").cast("bigint")).otherwise(F.lit(0))
+    runs = joined.select(
         "shard",
-        (F.col("base") - F.size("carry").cast("bigint")).alias("_start"),
-        F.size("carry").cast("bigint").alias("_ln"),
-        F.col("carry").cast(ArrayType(elem)).alias("_tk"),
-        F.col("carry_docs").alias("_nd"),
+        (F.coalesce(F.col("_base"), F.lit(0)) + F.col("_w") - clen).alias("_start"),
+        (F.col("_ln") + clen).alias("_ln"),
+        F.when(first, F.concat(F.col("_carry"), F.col("_tk")))
+        .otherwise(F.col("_tk"))
+        .alias("_tk"),
+        F.lit(1).alias("_nd"),
     )
-    return _assemble_chunks(new_runs.unionByName(carry_runs), max_len)
+    out = _assemble_chunks(runs, max_len)
+    # carry lies entirely inside one chunk (its length < max_len), so
+    # (base - carry_len) div L IS the boundary chunk id
+    bchunks = st.filter(F.size("_carry") > 0).select(
+        "shard",
+        F.expr(f"(_base - size(_carry)) div {int(max_len)}").alias("_bchunk"),
+        "_cd",
+    )
+    return (
+        out.join(F.broadcast(bchunks), "shard", "left")
+        .withColumn(
+            "n_docs",
+            (
+                F.col("n_docs")
+                + F.when(F.col("chunk") == F.col("_bchunk"), F.col("_cd"))
+                .otherwise(F.lit(0))
+            ).cast("int"),
+        )
+        .drop("_bchunk", "_cd")
+    )

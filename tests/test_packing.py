@@ -205,7 +205,7 @@ def _upsert(prefix_chunks: dict, tail_chunks: dict) -> dict:
         (7, 8, None, 17),     # boundary chunk almost always partial
         (7, 8, None, 299),    # single-doc tail
         (64, 4, None, 0),     # empty prefix: tail == full pack
-        (64, 4, None, 300),   # empty tail: boundary chunks re-emitted
+        (64, 4, None, 300),   # empty tail: nothing emitted
     ],
 )
 def test_pack_tail_upsert_equals_full_repack(spark, corpus, L, ns, sep, split):
@@ -261,3 +261,45 @@ def test_pack_state_shape(spark, corpus):
         assert r["base"] == base
         assert len(r["carry"]) == (base % 64 if base % 64 else 0)
         assert (r["carry_docs"] > 0) == (base % 64 != 0)
+
+
+def test_pack_tail_plans_one_shuffle_and_broadcast_state(spark):
+    """pack_tail over a MATERIALIZED state is the same single shard
+    shuffle as pack_sequences plus a broadcast of the O(n_shards)
+    state — the carry folds into each shard's first run through the
+    broadcast join instead of a union, which would erase the window's
+    partitioning and force a second full shuffle of the tail."""
+    import re
+
+    from etl_rs_spark.operators.packing import pack_tail
+
+    df = spark.createDataFrame(
+        [(i, list(range(i % 7))) for i in range(100, 160)],
+        "doc_id long, tokens array<int>",
+    ).repartition(5)
+    state = spark.createDataFrame(
+        [(s, 13, [1, 2, 3, 4, 5], 2) for s in range(4)],
+        "shard int, base long, carry array<int>, carry_docs int",
+    )
+    plan = (
+        pack_tail(df, state, 8, n_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert exchanges.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Broadcast" in plan
+
+
+def test_pack_tail_no_new_docs_emits_nothing(spark):
+    """A shard with no new documents emits NOTHING — its committed
+    chunks, boundary included, are already correct on storage."""
+    from etl_rs_spark.operators.packing import pack_state, pack_tail
+
+    df = spark.createDataFrame(
+        [(0, [1, 2, 3]), (1, [4, 5])], "doc_id long, tokens array<int>"
+    )
+    packed = pack_sequences(df, 2, n_shards=2)
+    st = pack_state(packed, 2)
+    empty = df.filter("doc_id < 0")
+    assert pack_tail(empty, st, 2, n_shards=2).count() == 0
