@@ -303,3 +303,83 @@ def test_pack_tail_no_new_docs_emits_nothing(spark):
     st = pack_state(packed, 2)
     empty = df.filter("doc_id < 0")
     assert pack_tail(empty, st, 2, n_shards=2).count() == 0
+
+
+def test_pack_tail_streaming_foreachbatch_maintains_packed_table(spark, tmp_path):
+    """The CDC-ingest composition for APPEND-ONLY corpora: a document
+    stream drains through foreachBatch; each micro-batch derives the
+    O(n_shards) pack_state from the packed table so far, tail-packs
+    only the batch, and upserts by (shard, chunk) — only boundary
+    chunks are ever rewritten. Final table == one-shot full repack."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from etl_rs_spark.operators.packing import pack_state, pack_tail
+
+    random.seed(23)
+    docs = [
+        (i, [random.randrange(997) for _ in range(random.choice([0, 3, 9, 21, 50]))])
+        for i in range(120)
+    ]
+    src = str(tmp_path / "docs_stream")
+    # three append-only arrivals, ascending id ranges, one file each
+    for lo, hi in ((0, 40), (40, 90), (90, 120)):
+        spark.createDataFrame(
+            docs[lo:hi], "doc_id long, tokens array<int>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    packed_dir = str(tmp_path / "packed")
+    L, NS = 16, 4
+
+    def upsert_batch(batch_df, _bid):
+        import os
+
+        if os.path.isdir(packed_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(packed_dir)
+        ):
+            committed = spark.read.parquet(packed_dir)
+            st = pack_state(committed, L)
+        else:
+            committed = None
+            st = spark.createDataFrame(
+                [], "shard int, base long, carry array<int>, carry_docs int"
+            )
+        tail = pack_tail(batch_df, st, L, n_shards=NS)
+        if committed is not None:
+            keep = committed.join(
+                tail.select("shard", "chunk"), ["shard", "chunk"], "left_anti"
+            )
+            out = keep.unionByName(tail)
+        else:
+            out = tail
+        # collect-then-rewrite: the committed table is also this job's
+        # input, so a direct overwrite would read-under-write
+        rows = out.collect()
+        spark.createDataFrame(rows, out.schema).write.mode("overwrite").parquet(
+            packed_dir
+        )
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["shard"], r["chunk"]): (tuple(r["tokens"]), r["n_tokens"], r["n_docs"])
+        for r in spark.read.parquet(packed_dir).collect()
+    }
+    full_df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    want = {
+        (r["shard"], r["chunk"]): (tuple(r["tokens"]), r["n_tokens"], r["n_docs"])
+        for r in pack_sequences(full_df, L, n_shards=NS).collect()
+    }
+    assert got == want
+    assert len(want) > 4
