@@ -288,9 +288,11 @@ def bench_corpus_prep(spark, sf_dir: str) -> dict:
     from jobs.corpus_prep import prep_corpus
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_docs = docs.count()
     probes = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
+    # throughput denominator = docs the pipeline actually preps (the
+    # probe split is only the decontamination reference)
+    n_docs = train.count()
 
     def run() -> None:
         out = tempfile.mkdtemp(prefix="bench_pack_")

@@ -501,6 +501,14 @@ def _decode_scan(d, pos, sos, frame, qtables, dc_tables, ac_tables, ri):
                         while k < 64:
                             rs = reader.decode_symbol(p["ac"])
                             r, s = rs >> 4, rs & 15
+                            # T.81 F.1.2.2.1: baseline AC magnitude
+                            # categories are 1..10 — same hostile-DHT
+                            # gap as the DC check above (11..15 would
+                            # silently read garbage magnitude bits)
+                            if s > 10:
+                                raise ValueError(
+                                    "JPEG AC category out of range"
+                                )
                             if s == 0:
                                 if r == 15:
                                     k += 16  # ZRL

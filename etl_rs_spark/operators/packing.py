@@ -309,6 +309,11 @@ def pack_tail(
         F.col("carry").cast(ArrayType(elem)).alias("_carry"),
         F.col("carry_docs").alias("_cd"),
     )
+    # materialize the O(n_shards) state ONCE: it fans into two
+    # broadcasts (the carry join and the boundary n_docs join), and an
+    # unmaterialized plan — e.g. pack_state over the committed packed
+    # table — would execute its full scan/aggregation twice
+    st = df.sparkSession.createDataFrame(st.collect(), st.schema)
 
     # per-shard state rides a broadcast join (O(n_shards) rows); the
     # window is the same single shard-hash shuffle as pack_sequences

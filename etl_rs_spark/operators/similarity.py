@@ -512,7 +512,7 @@ def lsh_topk_partitioned(
     explicitly passed values are VALIDATED against it — probing a
     4-plane layout with 5-plane buckets would silently miss every
     neighbor, so a mismatch raises instead."""
-    meta = read_lsh_meta(path)
+    meta = read_lsh_meta(path, spark)
     if meta is not None:
         for name, passed in (("n_planes", n_planes), ("dim", dim), ("vec_col", vec_col)):
             if passed is not None and passed != meta[name]:

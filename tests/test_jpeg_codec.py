@@ -275,6 +275,32 @@ def test_jpeg_rejects_hostile_dc_category():
             J.decode_jpeg(bytes(payload))
 
 
+def test_jpeg_rejects_hostile_ac_category():
+    """The AC twin of the DC check: T.81 F.1.2.2.1 caps baseline AC
+    magnitude categories (the symbol's low nibble) at 10 — a hostile
+    AC DHT mapping codes to 11..15 must raise, not silently read
+    garbage magnitude bits."""
+    good = J.encode_jpeg(_smooth(16, 16), quality=90)
+    payload = bytearray(good)
+    at = 2
+    patched = False
+    while at + 4 <= len(payload):
+        if payload[at] != 0xFF:
+            break
+        marker = payload[at + 1]
+        (seglen,) = struct.unpack_from(">H", payload, at + 2)
+        if marker == 0xDA:
+            break
+        if marker == 0xC4 and (payload[at + 4] >> 4) == 1:  # Tc=1: AC
+            for i in range(at + 4 + 17, at + 2 + seglen):
+                payload[i] = 0x0F  # run 0, category 15
+            patched = True
+        at += 2 + seglen
+    assert patched, "no AC DHT segment found to patch"
+    with pytest.raises(ValueError, match="AC category out of range"):
+        J.decode_jpeg(bytes(payload))
+
+
 def test_jpeg_decode_rejects_missing_tables():
     """A scan referencing a DQT/DHT id that was never defined must be a
     clean ValueError, not an IndexError/KeyError."""
