@@ -672,6 +672,24 @@ def q34_pack_sequences(spark, sf_dir):
     )
 
 
+def q39_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (text.repetition_stats): per doc,
+    duplicate-word fraction and the count/coverage of the most frequent
+    adjacent word 2- and 3-gram — the standard boilerplate pre-filter in
+    public web-corpus pipelines. Spark computes it array-locally (slices
+    + zip_with + one sorted run-length fold, ZERO shuffles); the DuckDB
+    oracle replays it as unnest + GROUP BY + max. Only COUNTS cross
+    engines — never a tie-broken winning gram — so the comparison is
+    exact."""
+    d = _t(spark, sf_dir, "documents")
+    out = TX.repetition_stats(d)
+    return out.select(
+        "doc_id", "n_words", "dup_word_frac",
+        "top_2gram_count", "top_2gram_frac",
+        "top_3gram_count", "top_3gram_frac",
+    )
+
+
 #: q38: doc_id < 300 plays the already-committed prefix; the rest is
 #: the append-only tail arriving later. Same tokenization/shape as q34.
 Q38_SPLIT = 300
@@ -832,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_mix_sample": q36_mix_sample,
         "q37_dedup_components": q37_dedup_components,
         "q38_pack_tail": q38_pack_tail,
+        "q39_repetition": q39_repetition,
     }
 
 
@@ -1733,6 +1752,49 @@ def oracle_sql() -> dict[str, str]:
         JOIN newsh n ON f.shard = n.shard
         LEFT JOIN prefix p ON f.shard = p.shard
         WHERE f.chunk >= COALESCE(p.base, 0) // 128
+    """
+
+    # q39: repetition filters — top n-gram multiplicity per doc via
+    # unnest + GROUP BY + max (the Spark side folds array-locally; only
+    # the COUNT crosses engines). chr(1) gram separator matches
+    # text.NGRAM_SEP; integer/NULL edge cases mirror nullif guards.
+    sql["q39_repetition"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+          FROM documents
+        ), g2 AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || chr(1) || ws[i+1])) AS g
+          FROM w
+        ), c2 AS (
+          SELECT doc_id, CAST(max(cnt) AS INT) AS c
+          FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+          GROUP BY doc_id
+        ), g3 AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                        i -> ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2])) AS g
+          FROM w
+        ), c3 AS (
+          SELECT doc_id, CAST(max(cnt) AS INT) AS c
+          FROM (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2)
+          GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(len(ws) AS INT) AS n_words,
+               ROUND((len(ws) - len(list_distinct(ws)))
+                     / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS dup_word_frac,
+               CAST(COALESCE(c2.c, 0) AS INT) AS top_2gram_count,
+               ROUND(COALESCE(c2.c, 0) * 2
+                     / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS top_2gram_frac,
+               CAST(COALESCE(c3.c, 0) AS INT) AS top_3gram_count,
+               ROUND(COALESCE(c3.c, 0) * 3
+                     / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS top_3gram_frac
+        FROM w
+        LEFT JOIN c2 ON w.doc_id = c2.doc_id
+        LEFT JOIN c3 ON w.doc_id = c3.doc_id
     """
 
     # q35: probe-shingle semi-match + per-doc hit counts. Same shingle

@@ -178,3 +178,83 @@ def fingerprint(
     )
     fp = F.aggregate(pos_weighted, F.lit(0).cast("bigint"), lambda a, x: (a + x) % F.lit(HASH_P))
     return df.withColumn(out_col, fp)
+
+
+#: separator for word n-gram keys: a control char that whitespace
+#: tokenization can never emit inside a word, so "ab c"-vs-"a bc"
+#: bigrams cannot collide. The DuckDB oracles use the same chr(1).
+NGRAM_SEP = "\x01"
+
+
+def _word_ngrams(w: Column, n: int) -> Column:
+    """Adjacent word n-grams of a token array as SEP-joined strings.
+    Built from n SLICES zipped together — never element_at over a
+    computed array, which Catalyst would inline and re-evaluate the
+    whole tokenization per index (the q21 trap)."""
+    size = F.size(w)
+    ln = F.greatest(size - n + 1, F.lit(0))
+    parts = [F.slice(w, i + 1, ln) for i in range(n)]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(NGRAM_SEP), b))
+    return g
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Highest multiplicity in a SORTED string array, as one array-local
+    fold (run-length over equal neighbours) — per-row work, zero
+    shuffles, no explode+groupBy."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher", Appendix A1 repetition filters — public paper):
+    per document, the duplicate-word fraction and, for each n in
+    ``ns``, the occurrence count of the MOST FREQUENT adjacent word
+    n-gram plus the fraction of word positions its occurrences cover
+    (count * n / n_words; overlapping occurrences can push it past 1 —
+    callers threshold at ~0.15-0.3, where the distinction is moot).
+
+    Repeated boilerplate (headers, navigation, template spam) shows up
+    as high top-n-gram fractions long before exact/near dedup can see
+    it; this is the standard pre-filter in public web-corpus pipelines.
+
+    Scale shape: everything is array-local per row — slices + zip_with
+    for the n-grams (one reference to the token array per slice), one
+    array_sort + run-length fold for the max count. ZERO shuffles, no
+    explode, no per-doc groupBy; the DuckDB oracle replays it with
+    unnest + GROUP BY and matches exactly because only COUNTS cross
+    engines, never a tie-broken winning gram. Empty docs yield null
+    fractions (nullif guard, ANSI-safe); docs shorter than n yield
+    count 0, fraction 0."""
+    w = words(text_col)
+    n_words = F.size(w)
+    nn = F.nullif(n_words, F.lit(0)).cast("double")
+    out = {
+        "n_words": n_words.cast("int"),
+        "dup_word_frac": F.round(
+            (n_words - F.size(F.array_distinct(w))) / nn, 6
+        ),
+    }
+    for n in ns:
+        cnt = _max_run(F.array_sort(_word_ngrams(w, n)))
+        out[f"top_{n}gram_count"] = cnt.cast("int")
+        out[f"top_{n}gram_frac"] = F.round(cnt * n / nn, 6)
+    return df.withColumns(out)

@@ -1033,3 +1033,32 @@ def test_bands_for_recall_s_curve_inversion():
     assert sim.bands_for_recall(1.0, 4, 0.95) == 1    # p_band = 1 -> 1 band
     with pytest.raises(ValueError):
         sim.bands_for_recall(0.5, 4, 1.0)
+
+
+def test_repetition_stats_matches_python(spark):
+    """Gopher-style repetition signals vs a plain-python oracle over
+    randomized docs, plus the pinned edge cases (empty doc -> null
+    fracs, single word -> zero counts, overlapping top gram > 1)."""
+    import random
+    from collections import Counter
+
+    random.seed(41)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [(i, " ".join(random.choice(vocab) for _ in range(random.choice([0, 1, 5, 12, 30]))))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.repetition_stats(df).collect()}
+    for i, text in rows:
+        ws = [w for w in text.split() if w]
+        n = len(ws)
+        r = got[i]
+        assert r["n_words"] == n
+        if n == 0:
+            assert r["dup_word_frac"] is None and r["top_2gram_frac"] is None
+            continue
+        assert r["dup_word_frac"] == round((n - len(set(ws))) / n, 6)
+        for k in (2, 3):
+            grams = [tuple(ws[j:j + k]) for j in range(max(n - k + 1, 0))]
+            top = max(Counter(grams).values()) if grams else 0
+            assert r[f"top_{k}gram_count"] == top, (i, k, text)
+            assert r[f"top_{k}gram_frac"] == round(top * k / n, 6)
