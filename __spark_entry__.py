@@ -690,6 +690,42 @@ def q39_repetition(spark, sf_dir):
     )
 
 
+def q40_redact_pii(spark, sf_dir):
+    """PII scrub (text.redact_pii): emails / TPC-H-format phones / IPv4
+    literals replaced with typed tags, plus the per-row redaction count
+    a pipeline thresholds on. The PII-bearing text is synthesized
+    deterministically from the customer table (key-dependent subsets so
+    rows carry 0-3 PII kinds); the DuckDB oracle rebuilds the identical
+    text and applies the identical RE2-compatible patterns with
+    regexp_replace(...,'g'). Zero shuffles — chained codegen'd
+    regexp_replace over one projection."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    pii_text = F.concat(
+        F.lit("acct "), F.col("c_name"),
+        F.when(k % 2 == 0,
+               F.concat(F.lit(" mail user"), ks, F.lit("@ex"),
+                        (k % 7).cast("string"), F.lit(".org"))).otherwise(F.lit("")),
+        F.when(k % 3 == 0,
+               F.concat(F.lit(" tel "), (k % 90 + 10).cast("string"),
+                        F.lit("-"), (k % 900 + 100).cast("string"),
+                        F.lit("-"), ((k * 7) % 900 + 100).cast("string"),
+                        F.lit("-"), (k % 9000 + 1000).cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(k % 5 == 0,
+               F.concat(F.lit(" ip "), (k % 250).cast("string"), F.lit("."),
+                        (k % 200).cast("string"), F.lit("."),
+                        (k % 100).cast("string"), F.lit("."),
+                        (k % 50).cast("string"))).otherwise(F.lit("")),
+    )
+    out = TX.redact_pii(
+        c.select("c_custkey", pii_text.alias("text")),
+        "text", out_col="redacted", count_col="n_pii",
+    )
+    return out.select("c_custkey", "redacted", "n_pii")
+
+
 #: q38: doc_id < 300 plays the already-committed prefix; the rest is
 #: the append-only tail arriving later. Same tokenization/shape as q34.
 Q38_SPLIT = 300
@@ -851,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_dedup_components": q37_dedup_components,
         "q38_pack_tail": q38_pack_tail,
         "q39_repetition": q39_repetition,
+        "q40_redact_pii": q40_redact_pii,
     }
 
 
@@ -1752,6 +1789,49 @@ def oracle_sql() -> dict[str, str]:
         JOIN newsh n ON f.shard = n.shard
         LEFT JOIN prefix p ON f.shard = p.shard
         WHERE f.chunk >= COALESCE(p.base, 0) // 128
+    """
+
+    # q40: PII redaction — identical synthesized text, identical
+    # RE2-compatible patterns (regexp_replace 'g' = Spark's
+    # replace-all), identical tag-count arithmetic.
+    sql["q40_redact_pii"] = r"""
+        WITH src AS (
+          SELECT c_custkey,
+                 'acct ' || c_name
+                 || CASE WHEN c_custkey % 2 = 0
+                         THEN ' mail user' || CAST(c_custkey AS VARCHAR)
+                              || '@ex' || CAST(c_custkey % 7 AS VARCHAR) || '.org'
+                         ELSE '' END
+                 || CASE WHEN c_custkey % 3 = 0
+                         THEN ' tel ' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+                              || '-' || CAST(c_custkey % 900 + 100 AS VARCHAR)
+                              || '-' || CAST((c_custkey * 7) % 900 + 100 AS VARCHAR)
+                              || '-' || CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+                         ELSE '' END
+                 || CASE WHEN c_custkey % 5 = 0
+                         THEN ' ip ' || CAST(c_custkey % 250 AS VARCHAR)
+                              || '.' || CAST(c_custkey % 200 AS VARCHAR)
+                              || '.' || CAST(c_custkey % 100 AS VARCHAR)
+                              || '.' || CAST(c_custkey % 50 AS VARCHAR)
+                         ELSE '' END AS text
+          FROM customer
+        ), red AS (
+          SELECT c_custkey,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+          FROM src
+        )
+        SELECT c_custkey, redacted,
+               CAST(
+                 (length(redacted) - length(replace(redacted, '<EMAIL>', ''))) / 7
+                 + (length(redacted) - length(replace(redacted, '<PHONE>', ''))) / 7
+                 + (length(redacted) - length(replace(redacted, '<IP>', ''))) / 4
+               AS INT) AS n_pii
+        FROM red
     """
 
     # q39: repetition filters — top n-gram multiplicity per doc via

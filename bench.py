@@ -64,7 +64,7 @@ BENCH_QUERIES = [
     "q29_transform_email", "q30_jdd_normalize",
     "q31_sessionize", "q32_lang_id", "q33_ivf_topk",
     "q34_pack_sequences", "q35_decontaminate", "q36_mix_sample",
-    "q38_pack_tail", "q39_repetition",
+    "q38_pack_tail", "q39_repetition", "q40_redact_pii",
 ]
 
 #: queries benched at sf0.01 instead of the main sf (reason above;

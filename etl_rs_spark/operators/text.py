@@ -258,3 +258,55 @@ def repetition_stats(
         out[f"top_{n}gram_count"] = cnt.cast("int")
         out[f"top_{n}gram_frac"] = F.round(cnt * n / nn, 6)
     return df.withColumns(out)
+
+
+#: PII patterns, applied in declaration order. Deliberately simple,
+#: anchor-free regexes that mean the SAME thing in Java regex (Spark)
+#: and RE2 (DuckDB oracles): character classes and bounded repetition
+#: only — no lookaround (RE2 has none), no bare \w/\s (unicode-vs-ASCII
+#: divergence, see functions/transforms.py). Email first: an address
+#: can embed digit runs a later phone/ip pattern would half-redact.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{2,3}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
+    out_col: str | None = None,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Redact PII spans with typed tags — the standard scrub stage a
+    public training corpus runs before anything else sees the text
+    (C4 / RefinedWeb-style). Pure chained regexp_replace: JVM-side,
+    codegen'd, zero shuffles, replaces ALL occurrences.
+
+    ``kinds`` selects and ORDERS the applied patterns from
+    PII_PATTERNS. ``count_col`` optionally records how many spans were
+    redacted per document (before-vs-after tag count), the signal a
+    pipeline uses to drop PII-dense documents outright."""
+    unknown = [k for k in kinds if k not in {k_ for k_, _, _ in PII_PATTERNS}]
+    if unknown:
+        raise ValueError(f"unknown PII kinds {unknown}; known: "
+                         f"{[k for k, _, _ in PII_PATTERNS]}")
+    out_col = out_col or text_col
+    c: Column = F.col(text_col)
+    tags = []
+    for kind, pat, rep in PII_PATTERNS:
+        if kind in kinds:
+            c = F.regexp_replace(c, F.lit(pat), F.lit(rep))
+            tags.append(rep)
+    out = df.withColumn(out_col, c)
+    if count_col:
+        n = F.lit(0)
+        for t in tags:
+            # occurrences of tag t = (len - len(text without t)) / len(t)
+            n = n + (
+                F.length(out_col) - F.length(F.replace(F.col(out_col), F.lit(t)))
+            ) / F.lit(len(t))
+        out = out.withColumn(count_col, n.cast("int"))
+    return out

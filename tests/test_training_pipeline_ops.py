@@ -1062,3 +1062,32 @@ def test_repetition_stats_matches_python(spark):
             top = max(Counter(grams).values()) if grams else 0
             assert r[f"top_{k}gram_count"] == top, (i, k, text)
             assert r[f"top_{k}gram_frac"] == round(top * k / n, 6)
+
+
+def test_redact_pii(spark):
+    """Typed-tag PII scrub: all occurrences replaced, order email-first
+    (an address's digit runs must not be half-eaten by the phone/ip
+    patterns), clean text untouched, count column exact."""
+    rows = [
+        (0, "mail a.b+c@x.org and d@y.io, tel 25-989-741-2988, ip 10.0.0.1"),
+        (1, "no pii here at all"),
+        (2, ""),
+        (3, "double 1.2.3.4 5.6.7.8"),
+        (4, "addr user99@ex1.org end"),  # digits inside the email stay one <EMAIL>
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in tx.redact_pii(df, count_col="n_pii").collect()}
+    assert got[0]["text"] == "mail <EMAIL> and <EMAIL>, tel <PHONE>, ip <IP>"
+    assert got[0]["n_pii"] == 4
+    assert got[1]["text"] == "no pii here at all" and got[1]["n_pii"] == 0
+    assert got[2]["text"] == "" and got[2]["n_pii"] == 0
+    assert got[3]["text"] == "double <IP> <IP>" and got[3]["n_pii"] == 2
+    assert got[4]["text"] == "addr <EMAIL> end" and got[4]["n_pii"] == 1
+    # selective kinds: only emails scrubbed, out_col keeps the original
+    out = {r["id"]: r for r in tx.redact_pii(
+        df, kinds=("email",), out_col="clean").collect()}
+    assert out[0]["clean"] == "mail <EMAIL> and <EMAIL>, tel 25-989-741-2988, ip 10.0.0.1"
+    assert out[0]["text"] == rows[0][1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown PII kinds"):
+        tx.redact_pii(df, kinds=("ssn",))
