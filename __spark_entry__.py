@@ -726,6 +726,38 @@ def q40_redact_pii(spark, sf_dir):
     return out.select("c_custkey", "redacted", "n_pii")
 
 
+#: q41 split recipe + q42 cap, shared by the Spark plans and the DuckDB
+#: oracles. The oracle thresholds are derived with the SAME accumulation
+#: loop stratified_split runs, so the exact integers match bit-for-bit.
+Q41_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+Q41_SEED = 17
+Q42_CAP = 10
+
+
+def q41_stratified_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (mixing.stratified_split):
+    each doc's split is a pure function of (doc_id, seed) — the 60-bit
+    md5 draw against cumulative integer thresholds, zero shuffles. The
+    leak-free property a growing corpus needs: a doc's split never
+    changes when other docs arrive."""
+    d = _t(spark, sf_dir, "documents")
+    out = MIX.stratified_split(d, Q41_SPLITS, seed=Q41_SEED)
+    return out.select("doc_id", "split")
+
+
+def q42_cap_per_group(spark, sf_dir):
+    """Per-source quota cap (mixing.cap_per_group): keep at most
+    Q42_CAP docs per source, survivors = lowest (doc_id, seed) hash
+    draw (unbiased uniform sample, id tiebreak) — the per-domain cap of
+    web-corpus prep. ONE shuffle; the DuckDB oracle is the identical
+    row_number window."""
+    d = _t(spark, sf_dir, "documents")
+    out = MIX.cap_per_group(
+        d.select("source", "doc_id"), "source", Q42_CAP, seed=Q41_SEED
+    )
+    return out.select("source", "doc_id")
+
+
 #: q38: doc_id < 300 plays the already-committed prefix; the rest is
 #: the append-only tail arriving later. Same tokenization/shape as q34.
 Q38_SPLIT = 300
@@ -888,6 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_pack_tail": q38_pack_tail,
         "q39_repetition": q39_repetition,
         "q40_redact_pii": q40_redact_pii,
+        "q41_stratified_split": q41_stratified_split,
+        "q42_cap_per_group": q42_cap_per_group,
     }
 
 
@@ -1832,6 +1866,33 @@ def oracle_sql() -> dict[str, str]:
                  + (length(redacted) - length(replace(redacted, '<IP>', ''))) / 4
                AS INT) AS n_pii
         FROM red
+    """
+
+    # q41/q42: the 60-bit id draw ('0x'||substr(md5(id || ':seed'),1,15))
+    # replayed verbatim; q41 thresholds come from the SAME accumulation
+    # loop the operator runs, so the integers match exactly.
+    _cum, _cases = 0.0, []
+    for _name, _frac in Q41_SPLITS.items():
+        _cum += _frac
+        _thr = min(int(_cum * (1 << 60)), 1 << 60)
+        _cases.append(f"WHEN h < {_thr} THEN '{_name}'")
+    sql["q41_stratified_split"] = f"""
+        WITH h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{Q41_SEED}'), 1, 15))::BIGINT AS h
+          FROM documents
+        )
+        SELECT doc_id, CASE {' '.join(_cases)} END AS split FROM h
+    """
+    sql["q42_cap_per_group"] = f"""
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{Q41_SEED}'), 1, 15))::BIGINT,
+                            doc_id) AS rn
+          FROM documents
+        ) WHERE rn <= {Q42_CAP}
     """
 
     # q39: repetition filters — top n-gram multiplicity per doc via

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q31_sessionize", "q32_lang_id", "q33_ivf_topk",
     "q34_pack_sequences", "q35_decontaminate", "q36_mix_sample",
     "q38_pack_tail", "q39_repetition", "q40_redact_pii",
+    "q41_stratified_split", "q42_cap_per_group",
 ]
 
 #: queries benched at sf0.01 instead of the main sf (reason above;

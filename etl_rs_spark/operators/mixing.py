@@ -125,3 +125,78 @@ def mix_sample(
         .drop("_nf", "_thr", "_replica")
     )
     return out
+
+
+def stratified_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 17,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in
+    exactly one named split as a pure function of (id, seed) — the same
+    60-bit md5 draw as mix_sample against CUMULATIVE integer
+    thresholds. Zero shuffles, SQL-replayable, and — the property that
+    keeps eval sets leak-free as a corpus grows — a row's split NEVER
+    changes when other rows arrive, unlike any sample that depends on
+    counts or ordering.
+
+    ``splits`` is an ordered {name: fraction} with fractions summing to
+    at most 1 (within float eps); rows drawing past the last cumulative
+    threshold get a NULL split (give fractions summing to 1 to label
+    everything). NULL ids draw NULL and stay unlabeled, matching the
+    SQL oracle's NULL propagation."""
+    if not splits:
+        raise ValueError("splits must name at least one split")
+    bad = {n: f for n, f in splits.items() if f < 0}
+    if bad:
+        raise ValueError(f"split fractions must be >= 0, got {bad}")
+    total = sum(splits.values())
+    if total > 1 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+
+    h = word_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    expr = None
+    cum = 0.0
+    for name, frac in splits.items():
+        cum += frac
+        thr = min(int(cum * _HASH_DOMAIN), _HASH_DOMAIN)  # exact integer
+        cond = h < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 17,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group — the per-domain quota cap of
+    web-corpus prep (one mega-domain must not dominate the mix).
+    Survivor choice is deterministic: lowest 60-bit (id, seed) draw
+    first, id as the tiebreak — an unbiased uniform sample of the group
+    that is stable across partitioning and replayable in SQL.
+
+    ONE shuffle (the group window). Skew note: a mega-group's rows
+    serialize into one task for the row_number pass — acceptable when
+    groups are domains (high cardinality, bounded share); for a
+    pathological single-group corpus, pre-thin with mix_sample (hash
+    downsample to ~k x parallelism) before capping."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql.window import Window
+
+    h = word_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -125,3 +125,76 @@ def test_mix_plans_zero_exchanges(corpus):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def _h60(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
+def test_stratified_split_matches_python(spark):
+    """Split assignment == the python replay of the cumulative integer
+    thresholds; fractions land near the targets; a row's split is
+    INDEPENDENT of what other rows exist (the leak-free property)."""
+    from etl_rs_spark.operators.mixing import stratified_split
+
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = [(i,) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    got = {r["doc_id"]: r["split"] for r in stratified_split(df, splits, seed=7).collect()}
+
+    cum, thresholds = 0.0, []
+    for name, frac in splits.items():
+        cum += frac
+        thresholds.append((name, min(int(cum * (1 << 60)), 1 << 60)))
+
+    def expect(i):
+        h = _h60(f"{i}:7")
+        for name, t in thresholds:
+            if h < t:
+                return name
+        return None
+
+    assert got == {i: expect(i) for (i,) in rows}
+    n = len(rows)
+    frac_train = sum(1 for v in got.values() if v == "train") / n
+    assert 0.75 < frac_train < 0.85
+    # independence: the same doc in a 10x smaller corpus keeps its split
+    small = {r["doc_id"]: r["split"] for r in stratified_split(
+        df.filter("doc_id < 200"), splits, seed=7).collect()}
+    assert all(got[i] == small[i] for i in small)
+    # NULL id -> NULL split; bad fractions rejected
+    nul = spark.createDataFrame([(None,)], "doc_id long")
+    assert stratified_split(nul, splits).first()["split"] is None
+    with pytest.raises(ValueError, match="sum"):
+        stratified_split(df, {"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError, match=">= 0"):
+        stratified_split(df, {"a": -0.1})
+    with pytest.raises(ValueError, match="at least one"):
+        stratified_split(df, {})
+
+
+def test_cap_per_group_matches_python(spark):
+    """At most k rows per group; survivors are the k lowest (id, seed)
+    draws with id tiebreak — replayed in python; output independent of
+    input partitioning."""
+    from etl_rs_spark.operators.mixing import cap_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = {(r["grp"], r["doc_id"]) for r in cap_per_group(df, "grp", 5, seed=7).collect()}
+
+    by_g: dict[str, list] = {}
+    for i, g in rows:
+        by_g.setdefault(g, []).append(i)
+    want = set()
+    for g, ids in by_g.items():
+        for i in sorted(ids, key=lambda i: (_h60(f"{i}:7"), i))[:5]:
+            want.add((g, i))
+    assert got == want
+    got2 = {(r["grp"], r["doc_id"])
+            for r in cap_per_group(df.repartition(7), "grp", 5, seed=7).collect()}
+    assert got2 == want
+    # k >= group size keeps everything; k must be positive
+    assert cap_per_group(df, "grp", 1000).count() == 100
+    with pytest.raises(ValueError, match="positive"):
+        cap_per_group(df, "grp", 0)
