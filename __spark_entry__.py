@@ -1872,9 +1872,16 @@ def oracle_sql() -> dict[str, str]:
     # replayed verbatim; q41 thresholds come from the SAME accumulation
     # loop the operator runs, so the integers match exactly.
     _cum, _cases = 0.0, []
+    _total = sum(Q41_SPLITS.values())
+    _names = list(Q41_SPLITS)
     for _name, _frac in Q41_SPLITS.items():
         _cum += _frac
-        _thr = min(int(_cum * (1 << 60)), 1 << 60)
+        # mirror stratified_split's last-threshold clamp (fractions
+        # float-summing to 1 must label the whole hash domain)
+        if _name == _names[-1] and abs(_total - 1.0) <= 1e-9:
+            _thr = 1 << 60
+        else:
+            _thr = min(int(_cum * (1 << 60)), 1 << 60)
         _cases.append(f"WHEN h < {_thr} THEN '{_name}'")
     sql["q41_stratified_split"] = f"""
         WITH h AS (
@@ -1927,10 +1934,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(ws) AS INT) AS n_words,
                ROUND((len(ws) - len(list_distinct(ws)))
                      / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS dup_word_frac,
-               CAST(COALESCE(c2.c, 0) AS INT) AS top_2gram_count,
+               CASE WHEN ws IS NULL THEN NULL
+                    ELSE CAST(COALESCE(c2.c, 0) AS INT) END AS top_2gram_count,
                ROUND(COALESCE(c2.c, 0) * 2
                      / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS top_2gram_frac,
-               CAST(COALESCE(c3.c, 0) AS INT) AS top_3gram_count,
+               CASE WHEN ws IS NULL THEN NULL
+                    ELSE CAST(COALESCE(c3.c, 0) AS INT) END AS top_3gram_count,
                ROUND(COALESCE(c3.c, 0) * 3
                      / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS top_3gram_frac
         FROM w

@@ -161,9 +161,18 @@ def stratified_split(
     )
     expr = None
     cum = 0.0
+    names = list(splits)
     for name, frac in splits.items():
         cum += frac
-        thr = min(int(cum * _HASH_DOMAIN), _HASH_DOMAIN)  # exact integer
+        # the last threshold clamps to the full domain when fractions
+        # sum to 1 within float eps: 0.8+0.1+0.1 float-sums to
+        # 0.999…99, which would leave a ~2^-53 hash sliver unlabeled —
+        # violating the "fractions summing to 1 label everything"
+        # contract one row in ~10^16
+        if name == names[-1] and abs(total - 1.0) <= 1e-9:
+            thr = _HASH_DOMAIN
+        else:
+            thr = min(int(cum * _HASH_DOMAIN), _HASH_DOMAIN)  # exact integer
         cond = h < F.lit(thr)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(out_col, expr)
@@ -180,7 +189,9 @@ def cap_per_group(
     web-corpus prep (one mega-domain must not dominate the mix).
     Survivor choice is deterministic: lowest 60-bit (id, seed) draw
     first, id as the tiebreak — an unbiased uniform sample of the group
-    that is stable across partitioning and replayable in SQL.
+    that is stable across partitioning and replayable in SQL. NULL ids
+    draw NULL and rank LAST (matching SQL window NULLS LAST), so they
+    survive only when a group has fewer than k real-id rows.
 
     ONE shuffle (the group window). Skew note: a mega-group's rows
     serialize into one task for the row_number pass — acceptable when
@@ -194,7 +205,12 @@ def cap_per_group(
     h = word_hash60(
         F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
     )
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    # asc_nulls_last, NOT asc: Spark ASC ranks NULL FIRST while SQL
+    # windows (and the DuckDB oracle) rank NULL LAST — bare asc() would
+    # let NULL-id junk rows displace real documents from every cap
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

@@ -243,9 +243,12 @@ def repetition_stats(
     unnest + GROUP BY and matches exactly because only COUNTS cross
     engines, never a tie-broken winning gram. Empty docs yield null
     fractions (nullif guard, ANSI-safe); docs shorter than n yield
-    count 0, fraction 0."""
+    count 0, fraction 0; NULL text yields NULL everything (the module's
+    null-on-invalid rule — unguarded, non-ANSI size(NULL) = -1 would
+    score a NULL doc as pristine dup_word_frac 0.0)."""
+    c = F.col(text_col)
     w = words(text_col)
-    n_words = F.size(w)
+    n_words = F.when(c.isNotNull(), F.size(w))
     nn = F.nullif(n_words, F.lit(0)).cast("double")
     out = {
         "n_words": n_words.cast("int"),
@@ -254,7 +257,7 @@ def repetition_stats(
         ),
     }
     for n in ns:
-        cnt = _max_run(F.array_sort(_word_ngrams(w, n)))
+        cnt = F.when(c.isNotNull(), _max_run(F.array_sort(_word_ngrams(w, n))))
         out[f"top_{n}gram_count"] = cnt.cast("int")
         out[f"top_{n}gram_frac"] = F.round(cnt * n / nn, 6)
     return df.withColumns(out)
@@ -286,27 +289,36 @@ def redact_pii(
     codegen'd, zero shuffles, replaces ALL occurrences.
 
     ``kinds`` selects and ORDERS the applied patterns from
-    PII_PATTERNS. ``count_col`` optionally records how many spans were
-    redacted per document (before-vs-after tag count), the signal a
-    pipeline uses to drop PII-dense documents outright."""
-    unknown = [k for k in kinds if k not in {k_ for k_, _, _ in PII_PATTERNS}]
+    PII_PATTERNS — the tuple order IS the application order (an earlier
+    pattern's replacement is what later patterns see). ``count_col``
+    optionally records how many spans were ACTUALLY replaced per
+    document (each stage counts its matches in the stage's input, so a
+    tag literal already present in the source text — e.g. a
+    previously-redacted corpus re-entering the pipeline — is never
+    counted), the signal a pipeline uses to drop PII-dense documents
+    outright."""
+    by_kind = {k_: (p, r) for k_, p, r in PII_PATTERNS}
+    unknown = [k for k in kinds if k not in by_kind]
     if unknown:
         raise ValueError(f"unknown PII kinds {unknown}; known: "
                          f"{[k for k, _, _ in PII_PATTERNS]}")
     out_col = out_col or text_col
     c: Column = F.col(text_col)
-    tags = []
-    for kind, pat, rep in PII_PATTERNS:
-        if kind in kinds:
-            c = F.regexp_replace(c, F.lit(pat), F.lit(rep))
-            tags.append(rep)
-    out = df.withColumn(out_col, c)
+    n: Column = F.lit(0)
+    for kind in kinds:
+        pat, rep = by_kind[kind]
+        if count_col:
+            # matches in THIS stage's input = spans this stage replaces
+            # (NULL text contributes 0 and passes through as NULL)
+            n = n + F.when(
+                c.isNull(), F.lit(0)
+            ).otherwise(F.size(F.regexp_extract_all(c, F.lit(pat), 0)))
+        c = F.regexp_replace(c, F.lit(pat), F.lit(rep))
+    # ONE withColumns so both expressions resolve against the ORIGINAL
+    # frame: with out_col == text_col (the default), a second
+    # withColumn would re-bind the count's F.col(text_col) references
+    # to the already-redacted column
+    new_cols = {out_col: c}
     if count_col:
-        n = F.lit(0)
-        for t in tags:
-            # occurrences of tag t = (len - len(text without t)) / len(t)
-            n = n + (
-                F.length(out_col) - F.length(F.replace(F.col(out_col), F.lit(t)))
-            ) / F.lit(len(t))
-        out = out.withColumn(count_col, n.cast("int"))
-    return out
+        new_cols[count_col] = n.cast("int")
+    return df.withColumns(new_cols)

@@ -127,10 +127,6 @@ def test_mix_plans_zero_exchanges(corpus):
     assert "Join" not in plan
 
 
-def _h60(key: str) -> int:
-    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
-
-
 def test_stratified_split_matches_python(spark):
     """Split assignment == the python replay of the cumulative integer
     thresholds; fractions land near the targets; a row's split is
@@ -198,3 +194,31 @@ def test_cap_per_group_matches_python(spark):
     assert cap_per_group(df, "grp", 1000).count() == 100
     with pytest.raises(ValueError, match="positive"):
         cap_per_group(df, "grp", 0)
+
+
+def test_stratified_split_total_one_labels_everything(spark):
+    """Fractions that FLOAT-sum to just under 1 (ten 0.1s accumulate to
+    0.999...99) must still label the whole hash domain: the last
+    threshold clamps to 2^60."""
+    from etl_rs_spark.operators.mixing import stratified_split
+
+    splits = {f"s{j}": 0.1 for j in range(10)}
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = stratified_split(df, splits, seed=3)
+    assert out.filter("split IS NULL").count() == 0
+
+
+def test_cap_per_group_null_ids_rank_last(spark):
+    """NULL-id rows must not displace real documents (Spark bare asc()
+    is NULLS FIRST; the operator pins NULLS LAST like the SQL oracle):
+    they survive only when a group has fewer than k real-id rows."""
+    from etl_rs_spark.operators.mixing import cap_per_group
+
+    df = spark.createDataFrame(
+        [(None, "g"), (1, "g"), (2, "g"), (3, "g"), (None, "tiny")],
+        "doc_id long, grp string",
+    )
+    got = {(r["grp"], r["doc_id"]) for r in cap_per_group(df, "grp", 2, seed=7).collect()}
+    g_survivors = {i for (g, i) in got if g == "g"}
+    assert None not in g_survivors and len(g_survivors) == 2
+    assert ("tiny", None) in got  # under-full group keeps its NULL row

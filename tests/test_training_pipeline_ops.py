@@ -1091,3 +1091,41 @@ def test_redact_pii(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown PII kinds"):
         tx.redact_pii(df, kinds=("ssn",))
+
+
+def test_redact_pii_count_ignores_preexisting_tags_and_honors_order(spark):
+    """n_pii counts spans ACTUALLY replaced — a tag literal already in
+    the source (a previously-redacted corpus re-entering the pipeline)
+    contributes 0. And `kinds` ORDER is the application order: ipv4
+    before email redacts the address's host part first."""
+    df = spark.createDataFrame(
+        [(0, "mention the <EMAIL> placeholder, no pii"),
+         (1, "real a@b.io plus quoted <PHONE>"),
+         (2, None)],
+        "id long, text string",
+    )
+    got = {r["id"]: r for r in tx.redact_pii(df, count_col="n_pii").collect()}
+    assert got[0]["n_pii"] == 0 and got[0]["text"] == "mention the <EMAIL> placeholder, no pii"
+    assert got[1]["n_pii"] == 1 and got[1]["text"] == "real <EMAIL> plus quoted <PHONE>"
+    assert got[2]["text"] is None and got[2]["n_pii"] == 0
+    # kinds order is authoritative: a phone embedded in an email local
+    # part is eaten whole by email-first, but phone-first splits it
+    df2 = spark.createDataFrame(
+        [(0, "12-345-678-9012@x.org end")], "id long, text string"
+    )
+    email_first = tx.redact_pii(df2, kinds=("email", "phone")).first()["text"]
+    phone_first = tx.redact_pii(df2, kinds=("phone", "email")).first()["text"]
+    assert email_first == "<EMAIL> end"
+    assert phone_first == "<PHONE>@x.org end"
+
+
+def test_repetition_stats_null_text_is_all_null(spark):
+    """NULL text must score NULL everywhere (non-ANSI size(NULL) = -1
+    would otherwise report n_words -1 and a pristine dup_word_frac
+    0.0, letting NULL docs sail through quality gates)."""
+    df = spark.createDataFrame([(0, None), (1, "a a")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.repetition_stats(df).collect()}
+    r0 = got[0]
+    assert r0["n_words"] is None and r0["dup_word_frac"] is None
+    assert r0["top_2gram_count"] is None and r0["top_2gram_frac"] is None
+    assert got[1]["n_words"] == 2 and got[1]["dup_word_frac"] == 0.5
