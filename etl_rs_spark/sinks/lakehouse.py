@@ -59,6 +59,15 @@ ENVELOPE_COLS = ["op", "lsn", "offset", "partition", "ts"]
 BUCKET_HASH = "murmur3-pmod"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed the snapshot version this commit targeted
+    (optimistic concurrency, Iceberg-style). The losing attempt's data
+    files are orphans (never referenced by any manifest) and the table
+    state is untouched — re-run the operation against the fresh
+    manifest; merge() is idempotent under its batch-key guard, and MOR
+    merges rebase-and-retry internally before surfacing this."""
+
+
 class LakehouseTable:
     """``mode="cow"`` (copy-on-write, default): a MERGE rewrites every
     bucket the batch touches; reads are plain scans. ``mode="mor"``
@@ -103,23 +112,29 @@ class LakehouseTable:
         self.n_buckets = n_buckets
         os.makedirs(self._snap_dir, exist_ok=True)
         if not os.path.exists(self._current_path):
-            self._write_manifest(
-                {
-                    "version": 0,
-                    "key_col": key_col,
-                    "n_buckets": n_buckets,
-                    "mode": mode,
-                    "bucket_hash": BUCKET_HASH,
-                    "auto_compact_files": auto_compact_files,
-                    "payload_schema": [],  # [name, ddl_type] pairs, additive
-                    "buckets": {},
-                    "committed": [],
-                    "offsets": {},
-                    "lineage": {},
-                    "history": [],
-                },
-                version=0,
-            )
+            try:
+                self._write_manifest(
+                    {
+                        "version": 0,
+                        "key_col": key_col,
+                        "n_buckets": n_buckets,
+                        "mode": mode,
+                        "bucket_hash": BUCKET_HASH,
+                        "auto_compact_files": auto_compact_files,
+                        "payload_schema": [],  # [name, ddl_type] pairs, additive
+                        "buckets": {},
+                        "committed": [],
+                        "offsets": {},
+                        "lineage": {},
+                        "history": [],
+                    },
+                    version=0,
+                )
+            except ConcurrentCommitError:
+                # two processes raced fresh-table creation: adopt the
+                # winner's v0 — the manifest-is-authoritative open below
+                # then validates layout exactly like any existing table
+                pass
         man = self.manifest()
         # the MANIFEST is authoritative for layout on an existing table:
         # constructor arguments describe table CREATION; opening with a
@@ -192,14 +207,39 @@ class LakehouseTable:
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(man, f)
-        # exclusive commit: os.link fails if a concurrent writer already
-        # claimed this version (optimistic concurrency, Iceberg-style)
-        os.link(tmp, final)
+        # exclusive commit: os.link fails if v{N}.json already exists —
+        # either a concurrent writer claimed the version, or a previous
+        # writer crashed between its link and its CURRENT swap
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            # the existing v{N}.json is FULLY durable (data written and
+            # manifest linked before any pointer move), so if CURRENT
+            # still lags we COMPLETE that commit's pointer swap here —
+            # without this, every later commit recomputes version N and
+            # re-collides, wedging the table permanently
+            if self._current_version() < version:
+                self._swap_current(version)
+            raise ConcurrentCommitError(
+                f"snapshot v{version} at {self.path!r} was claimed by "
+                f"another commit; re-run against the fresh manifest"
+            )
         os.unlink(tmp)
+        self._swap_current(version)
+
+    def _swap_current(self, version: int) -> None:
         cur_tmp = self._current_path + f".tmp-{uuid.uuid4().hex}"
         with open(cur_tmp, "w") as f:
             f.write(str(version))
         os.rename(cur_tmp, self._current_path)  # atomic swap
+
+    def _current_version(self) -> int:
+        try:
+            with open(self._current_path) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
 
     # -- read ----------------------------------------------------------------
 
@@ -385,6 +425,14 @@ class LakehouseTable:
             cur_files = [f for b in touched for f in man["buckets"].get(str(b), [])]
             cur = self._read_files(man, cur_files)
 
+            # NULL-key rows bypass the join: a full-outer on key never
+            # matches NULL, and the take_new NULL-guard would then emit
+            # an all-NULL husk (payload and _deleted silently discarded)
+            # instead of the row. Stored verbatim, matching the MOR and
+            # empty-table paths — NULL keys are never LWW-resolved.
+            null_new = chg.filter(F.col(self.key_col).isNull())
+            chg = chg.filter(F.col(self.key_col).isNotNull())
+
             c, n = cur.alias("c"), chg.alias("n")
             joined = c.join(n, on=F.col(f"c.{self.key_col}") == F.col(f"n.{self.key_col}"), how="full_outer")
             take_new = F.col(f"c.{self.key_col}").isNull() | (
@@ -400,7 +448,9 @@ class LakehouseTable:
                     F.when(take_new, F.col(f"n.{col}")).otherwise(F.col(f"c.{col}")).alias(col)
                 )
             merged = joined.select(*merged_cols)
-            merged = merged.withColumn("_bucket", self._bucket(F.col(self.key_col)))
+            merged = merged.withColumn(
+                "_bucket", self._bucket(F.col(self.key_col))
+            ).unionByName(null_new)
 
         version = man["version"] + 1
         out_dir = self._new_data_dir(version)
@@ -453,7 +503,24 @@ class LakehouseTable:
         # persist the in-session maintenance policy (see __init__: an
         # explicit constructor value overrides the manifest's)
         man["auto_compact_files"] = self.auto_compact_files
-        self._write_manifest(man, version)
+        try:
+            self._write_manifest(man, version)
+        except ConcurrentCommitError:
+            if self.mode != "mor":
+                # COW rewrote whole buckets from a now-STALE base — the
+                # written files may be missing the winner's rows, so a
+                # manifest-level rebase would lose data. The caller
+                # re-runs merge(); the batch-key guard makes that safe.
+                raise
+            # MOR only APPENDS delta files, so the commit rebases onto
+            # the fresh manifest: same files, new version. offsets and
+            # lineage are resolved dicts by now — reapplied fresh.
+            version = self._rebase_mor_commit(
+                batch_key, touched, out_dir, offsets or {}, lineage or {}
+            )
+            if version is None:  # another writer committed this batch
+                return {"skipped": True, "batch": batch_key}
+            new_buckets = self.manifest()["buckets"]
         out = {"skipped": False, "version": version, "touched_buckets": touched}
         # MOR maintenance policy: fold deltas once any bucket's live
         # file count exceeds the threshold — a SEPARATE follow-up
@@ -464,10 +531,73 @@ class LakehouseTable:
             and self.auto_compact_files
             and any(len(fl) > self.auto_compact_files for fl in new_buckets.values())
         ):
-            c = self.compact()
-            out["auto_compacted"] = True
-            out["version"] = c["version"]
+            try:
+                c = self.compact()
+                out["auto_compacted"] = True
+                out["version"] = c["version"]
+            except Exception as e:  # noqa: BLE001 — contract: the merge
+                # is already durable; a maintenance failure (version
+                # race, transient Spark error) must not make a committed
+                # batch look failed to the caller / kill a streaming
+                # query. Reported, not raised; the next threshold breach
+                # retries compaction.
+                out["auto_compacted"] = False
+                out["auto_compact_error"] = str(e)
         return out
+
+    def _rebase_mor_commit(
+        self,
+        batch_key: str,
+        touched: list[int],
+        out_dir: str,
+        offsets: dict,
+        lineage: dict,
+    ) -> int | None:
+        """Re-attach an already-written MOR delta to the FRESH manifest
+        after losing a version race. Safe precisely because MOR merges
+        append files without rewriting any existing ones. Returns the
+        committed version, or None when another writer already
+        committed this batch_key (our files become orphans). Bounded
+        retries: each loss means real concurrent progress, so contention
+        this deep signals a misconfigured deployment and raises."""
+        for _ in range(10):
+            man = self.manifest()
+            if batch_key in man["committed"]:
+                return None
+            # max with the pointer: defensive against a manifest whose
+            # internal version field lags its filename (external repair
+            # tooling) — colliding below CURRENT can never win
+            version = max(man["version"], self._current_version()) + 1
+            new_buckets = dict(man["buckets"])
+            for b in touched:
+                bdir = os.path.join(out_dir, f"_bucket={b}")
+                files = (
+                    [os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")]
+                    if os.path.isdir(bdir)
+                    else []
+                )
+                new_buckets[str(b)] = new_buckets.get(str(b), []) + files
+            man["buckets"] = new_buckets
+            for p, o in offsets.items():
+                k = str(p)
+                man["offsets"][k] = max(int(man["offsets"].get(k, -1)), int(o))
+            for k, v in lineage.items():
+                man["lineage"][k] = int(man["lineage"].get(k, 0)) + int(v)
+            man["committed"].append(batch_key)
+            man["history"] = (
+                man["history"] + [{"batch": batch_key, "version": version, "lineage": lineage}]
+            )[-100:]
+            man["version"] = version
+            man["auto_compact_files"] = self.auto_compact_files
+            try:
+                self._write_manifest(man, version)
+                return version
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"lost 10 consecutive version races committing {batch_key!r} "
+            f"at {self.path!r} — too many concurrent writers on one table"
+        )
 
     # -- compaction (merge-on-read maintenance) -----------------------------
 

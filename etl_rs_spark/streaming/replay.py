@@ -293,10 +293,30 @@ def replay_stream(
     never-merged rows (found by a streaming-vs-batch state diff; the
     regression is pinned in test_streaming_replay_split_segments).
     Exactly-once is carried by the source checkpoint (files delivered
-    once) + the batch-key guard + the idempotent (lsn, offset) MERGE."""
+    once) + the batch-key guard + the idempotent (lsn, offset) MERGE.
+
+    Batch-key identity: foreachBatch batch_ids are scoped to a
+    CHECKPOINT — a different stream into the same table (new checkpoint
+    dir, or the old one cleaned up) restarts at batch 0, and a bare
+    '{stream_name}:{batch_id}' key would collide with the committed
+    keys of the previous stream, silently skipping never-merged data
+    while the file source marks it consumed (the replay_segments
+    collision class, on the streaming path). Keys therefore fold in a
+    digest of the checkpoint path: stable across RESTARTS of one stream
+    (same checkpoint -> batch_ids continue, the crashed trigger re-runs
+    under its original key), distinct across streams. Key-format note:
+    keys before r5 were '{stream_name}:{batch_id}' — on a resumed old
+    table the in-flight trigger re-merges once under the new key,
+    idempotently, and state converges."""
+    import hashlib
+    import os as _os
+
     from dataclasses import replace as _dc_replace
 
     cfg = _dc_replace(cfg or ReplayConfig(), filter_committed_offsets=False)
+    ckpt_id = hashlib.md5(
+        _os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
     stream = (
         spark.readStream.schema(schema_ddl)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -306,7 +326,9 @@ def replay_stream(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
-        process_batch(table, batch_df, f"{stream_name}:{batch_id}", mapping, cfg)
+        process_batch(
+            table, batch_df, f"{stream_name}:{ckpt_id}:{batch_id}", mapping, cfg
+        )
 
     return (
         stream.writeStream.foreachBatch(handle)

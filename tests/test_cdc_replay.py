@@ -740,3 +740,116 @@ def test_normalize_handles_null_token_elements(spark):
         assert list(rows[1]["tokens"]) == [5] and rows[1]["_valid"] is True
         assert rows[2]["_valid"] is False        # plain False, not NULL
         assert rows[3]["_valid"] is True
+
+
+def test_streaming_batch_keys_distinct_across_checkpoints(spark, tmp_path, binlog, oracle_state):
+    """Two DIFFERENT streams (own checkpoints) into the SAME table must
+    not collide on foreachBatch batch ids: the second stream restarts
+    at batch 0, and a bare 'replay:0' key would be skipped as already
+    committed — its data silently lost while the file source marks the
+    files consumed. Keys fold in a checkpoint digest."""
+    path, segs, _ = binlog
+    table = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8)
+    schema = spark.read.parquet(segs[0]).schema
+    # stream A: first half of the segments
+    q = replay_stream(
+        spark, table, f"{path}/seg-0000[01]", str(tmp_path / "ckptA"), schema,
+        cfg=CFG, max_files_per_trigger=6,
+    )
+    q.awaitTermination(300)
+    partial = table_state(table.read())
+    # stream B: the rest, NEW checkpoint, same table — batch ids restart
+    q2 = replay_stream(
+        spark, table, f"{path}/seg-0000[23]", str(tmp_path / "ckptB"), schema,
+        cfg=CFG, max_files_per_trigger=6,
+    )
+    q2.awaitTermination(300)
+    assert partial != oracle_state  # stream A alone was incomplete
+    assert table_state(table.read()) == oracle_state
+
+
+def test_crashed_commit_heals_instead_of_wedging(spark, tmp_path, binlog, oracle_state):
+    """A writer crashing BETWEEN linking v{N}.json and swapping CURRENT
+    used to wedge the table forever (every later commit recomputes N,
+    collides, and raises). The commit protocol now completes the
+    crashed commit's pointer swap and (MOR) rebases onto it."""
+    import os as _os
+
+    path, segs, _ = binlog
+    t = LakehouseTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor")
+    process_batch(t, spark.read.parquet(segs[0]), "b0", cfg=CFG)
+    process_batch(t, spark.read.parquet(segs[1]), "b1", cfg=CFG)
+    snap_dir = str(tmp_path / "t" / "_snapshots")
+    # simulate the crash: v3 manifest fully linked (a real crashed
+    # commit records its own version), CURRENT still at 2
+    import json as _json
+
+    with open(_os.path.join(snap_dir, "v2.json")) as f:
+        crashed = _json.load(f)
+    crashed["version"] = 3
+    crashed["committed"] = crashed["committed"] + ["crashed-writer"]
+    with open(_os.path.join(snap_dir, "v3.json"), "w") as f:
+        _json.dump(crashed, f)
+    with open(_os.path.join(snap_dir, "CURRENT")) as f:
+        assert f.read().strip() == "2"
+    # next merges must heal (repair CURRENT, rebase to v4+), not wedge
+    process_batch(t, spark.read.parquet(segs[2]), "b2", cfg=CFG)
+    process_batch(t, spark.read.parquet(segs[3]), "b3", cfg=CFG)
+    assert table_state(t.read()) == oracle_state
+    assert t.manifest()["version"] >= 4
+
+
+def test_cow_null_key_rows_stored_not_husked(spark, tmp_path):
+    """A NULL-key event reaching a NON-EMPTY COW table used to fall out
+    of the full-outer join as an all-NULL husk (payload and _deleted
+    discarded, row accumulating forever). It must be stored verbatim,
+    matching the MOR and empty-table paths."""
+    from tests.oracle_cdc import table_state as _ts  # noqa: F401
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "op string, lsn long, partition int, offset long, ts long, "
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+
+    results = {}
+    for mode in ("cow", "mor"):
+        t = LakehouseTable(spark, str(tmp_path / f"t_{mode}"), n_buckets=4, mode=mode)
+        process_batch(t, batch([("insert", 1, 0, 0, 100, "d1", [1], 1, "s")]),
+                      "b0", cfg=ReplayConfig(vocab=50257, max_len=16))
+        # non-empty table now receives a NULL-key insert
+        process_batch(t, batch([("insert", 2, 0, 1, 100, None, [9, 9], 2, "s")]),
+                      "b1", cfg=ReplayConfig(vocab=50257, max_len=16))
+        rows = t.read().collect()
+        results[mode] = {
+            (r["doc_id"], tuple(r["tokens"]) if r["tokens"] is not None else None)
+            for r in rows
+        }
+        # no all-NULL husk: every row has real tokens and _deleted
+        assert all(r["tokens"] is not None for r in rows), (mode, rows)
+    assert results["cow"] == results["mor"] == {("d1", (1,)), (None, (9, 9))}
+
+
+def test_auto_compact_failure_does_not_fail_the_durable_merge(
+    spark, tmp_path, binlog, monkeypatch
+):
+    """The merge is durable BEFORE auto-compaction runs; a maintenance
+    failure must be reported in the result, not raised as if the
+    committed batch failed (it would kill a streaming query)."""
+    path, segs, _ = binlog
+    t = LakehouseTable(
+        spark, str(tmp_path / "t"), n_buckets=8, mode="mor", auto_compact_files=1
+    )
+
+    def boom():
+        raise RuntimeError("simulated maintenance failure")
+
+    monkeypatch.setattr(t, "compact", boom)
+    process_batch(t, spark.read.parquet(segs[0]), "b0", cfg=CFG)
+    r = process_batch(t, spark.read.parquet(segs[1]), "b1", cfg=CFG)
+    assert r["skipped"] is False
+    assert r.get("auto_compacted") is False
+    assert "simulated maintenance failure" in r.get("auto_compact_error", "")
+    # the merge itself is committed and readable
+    assert t.is_committed("b1") and t.read().count() > 0
