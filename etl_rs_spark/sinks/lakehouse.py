@@ -321,14 +321,11 @@ class LakehouseTable:
 
     def _resolve(self, df: DataFrame) -> DataFrame:
         """Merge-on-read LWW: latest (_lsn, _offset) version per key
-        wins (the read-side twin of the write-side max_by)."""
-        payload = [c for c in df.columns if c != self.key_col]
-        winner = F.max_by(
-            F.struct(*[F.col(c) for c in payload]),
-            F.struct(F.col("_lsn"), F.col("_offset")),
-        ).alias("_w")
-        out = df.groupBy(self.key_col).agg(winner)
-        return out.select(self.key_col, *[F.col(f"_w.{c}").alias(c) for c in payload])
+        wins — literally the write path's operators.lww.lww_agg, so the
+        read-side and write-side tie/NULL semantics can never diverge."""
+        from etl_rs_spark.operators.lww import lww_agg
+
+        return lww_agg(df, key=self.key_col, order=("_lsn", "_offset"))
 
     def read(self, include_meta: bool = False, version: int | None = None) -> DataFrame:
         """Snapshot scan; ``version`` time-travels to any committed

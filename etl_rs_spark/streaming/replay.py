@@ -48,6 +48,9 @@ class _AsyncCollect:
     def __init__(self, df: DataFrame):
         self._rows = None
         self._exc: BaseException | None = None
+        sc = df.sparkSession.sparkContext
+        self._sc = sc
+        self._group = sc.getLocalProperty("spark.jobGroup.id")
         self._thread = InheritableThread(target=self._run, args=(df,), daemon=True)
         self._thread.start()
 
@@ -62,6 +65,18 @@ class _AsyncCollect:
         if self._exc is not None:
             raise self._exc
         return self._rows
+
+    def cancel(self) -> None:
+        """Best-effort teardown for the caller's FAILURE path: when the
+        merge dies before consuming result(), nothing would otherwise
+        join or stop this O(events) job — it would burn executor time
+        for a batch that is already dead. Cancelling the inherited job
+        group is safe exactly here because the whole batch is failing
+        (foreachBatch scopes one group per trigger); without a group
+        (ad-hoc batch callers) we just bound the wait."""
+        if self._group:
+            self._sc.cancelJobGroup(self._group)
+        self._thread.join(timeout=30)
 
 
 @dataclass
@@ -97,14 +112,22 @@ def process_batch(
     cfg = cfg or ReplayConfig()
     mapping = mapping or ColumnMapping.base()
 
-    if table.is_committed(batch_key):
+    # ONE manifest read per batch: is_committed / committed_offsets /
+    # the cache_winners probe each re-parse the (growing) manifest —
+    # three redundant JSON loads per trigger on the streaming hot path
+    man0 = table.manifest()
+    if batch_key in man0["committed"]:
         return {"skipped": True, "batch": batch_key}
 
     # checkpoint resume: drop events at or below the committed offset of
     # their partition (idempotent MERGE makes this an optimization, but
     # it also keeps lineage counters exact on resume). See
     # ReplayConfig.filter_committed_offsets for when this is sound.
-    committed = table.committed_offsets() if cfg.filter_committed_offsets else {}
+    committed = (
+        {int(k): int(v) for k, v in man0["offsets"].items()}
+        if cfg.filter_committed_offsets
+        else {}
+    )
     if committed:
         pairs = [x for p, o in committed.items() for x in (F.lit(p), F.lit(o))]
         cm = F.create_map(*pairs)
@@ -197,9 +220,7 @@ def process_batch(
     # the MOR path AND the empty-table bulk fast path (initial load)
     # are single-consumer and stream straight through, so persisting
     # would cache the entire normalized batch for nothing.
-    cache_winners = table.mode == "cow" and any(
-        table.manifest()["buckets"].values()
-    )
+    cache_winners = table.mode == "cow" and any(man0["buckets"].values())
     if cache_winners:
         winners = winners.persist()
 
@@ -223,6 +244,12 @@ def process_batch(
             winners, batch_key, offsets=offsets_fn,
             lineage=lineage_fn if cfg.collect_lineage else {},
         )
+    except BaseException:
+        # merge died before consuming offsets_fn: stop the orphaned
+        # envelope job instead of letting it run to completion for a
+        # batch that no longer exists
+        per_part_fut.cancel()
+        raise
     finally:
         if cache_winners:
             winners.unpersist()
