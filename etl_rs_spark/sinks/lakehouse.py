@@ -596,6 +596,42 @@ class LakehouseTable:
             f"at {self.path!r} — too many concurrent writers on one table"
         )
 
+    def _rewrite_and_commit(self, man: dict, df: DataFrame, label: str) -> int:
+        """Full-table rewrite commit shared by compact() and
+        vacuum_tombstones(): bucket-partitioned write of ``df`` into a
+        fresh data dir, bucket map rebuilt from the output listing, one
+        snapshot commit recorded under ``label``. Commits at the
+        CALLER's manifest version + 1 — ``df`` was derived from that
+        snapshot, so if anything committed in between the version race
+        surfaces as ConcurrentCommitError (state unharmed, caller
+        re-runs) instead of the rewrite silently dropping the
+        interleaved batch. The write needs no repartition when the
+        shuffle conf is bucket-aligned (upstream groupBy uses the same
+        Murmur3 family); misaligned callers get one repartition."""
+        version = man["version"] + 1
+        out_dir = self._new_data_dir(version)
+        (
+            self._bucket_colocated(df).write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_buckets: dict[str, list[str]] = {}
+        for d in os.listdir(out_dir):
+            if not d.startswith("_bucket="):
+                continue
+            b = d.split("=", 1)[1]
+            bdir = os.path.join(out_dir, d)
+            new_buckets[b] = [
+                os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
+            ]
+        man["buckets"] = new_buckets
+        man["history"] = (
+            man["history"] + [{"batch": label, "version": version, "lineage": {}}]
+        )[-100:]
+        man["version"] = version
+        self._write_manifest(man, version)
+        return version
+
     # -- compaction (merge-on-read maintenance) -----------------------------
 
     def compact(self) -> dict:
@@ -612,30 +648,7 @@ class LakehouseTable:
         n_files = len(files)
         resolved = self._resolve(self._read_files(man, files))
         resolved = resolved.withColumn("_bucket", self._bucket(F.col(self.key_col)))
-
-        version = man["version"] + 1
-        out_dir = self._new_data_dir(version)
-        # _resolve's groupBy(key) already co-locates buckets (same
-        # Murmur3 family as _bucket) when the shuffle conf is aligned;
-        # otherwise one repartition guards the file count
-        (
-            self._bucket_colocated(resolved).write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
-        new_buckets: dict[str, list[str]] = {}
-        for d in os.listdir(out_dir):
-            if not d.startswith("_bucket="):
-                continue
-            b = d.split("=", 1)[1]
-            bdir = os.path.join(out_dir, d)
-            new_buckets[b] = [
-                os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
-            ]
-        man["buckets"] = new_buckets
-        man["history"] = (man["history"] + [{"batch": "_compact", "version": version, "lineage": {}}])[-100:]
-        man["version"] = version
-        self._write_manifest(man, version)
+        version = self._rewrite_and_commit(man, resolved, "_compact")
         return {"skipped": False, "version": version, "compacted_files": n_files}
 
     # -- tombstone retention -------------------------------------------------
@@ -662,28 +675,5 @@ class LakehouseTable:
         keep = df.filter(
             ~(F.col("_deleted") & (F.col("_lsn") < F.lit(int(min_lsn))))
         ).withColumn("_bucket", self._bucket(F.col(self.key_col)))
-
-        version = man["version"] + 1
-        out_dir = self._new_data_dir(version)
-        (
-            self._bucket_colocated(keep).write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
-        new_buckets: dict[str, list[str]] = {}
-        for d in os.listdir(out_dir):
-            if not d.startswith("_bucket="):
-                continue
-            b = d.split("=", 1)[1]
-            bdir = os.path.join(out_dir, d)
-            new_buckets[b] = [
-                os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
-            ]
-        man["buckets"] = new_buckets
-        man["history"] = (
-            man["history"]
-            + [{"batch": f"_vacuum<{min_lsn}", "version": version, "lineage": {}}]
-        )[-100:]
-        man["version"] = version
-        self._write_manifest(man, version)
+        version = self._rewrite_and_commit(man, keep, f"_vacuum<{min_lsn}")
         return {"skipped": False, "version": version, "min_lsn": int(min_lsn)}
